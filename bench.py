@@ -1,0 +1,80 @@
+"""Benchmark: aggregate env-step throughput on one chip.
+
+Workload per BASELINE.md north star: 4096 hover-env instances (240 Hz PYB
+physics, 30 Hz control — 8 fused substeps per env step, the reference's
+learn.py rates) stepped in lockstep under jit/vmap with random actions.
+Prints ONE JSON line; ``vs_baseline`` is against the 1M env-steps/s target.
+
+Usage: python bench.py [--envs 4096] [--steps 256] [--platform default]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--envs", type=int, default=4096)
+    ap.add_argument("--steps", type=int, default=256)
+    ap.add_argument("--platform", type=str, default=None,
+                    help="force jax platform (e.g. cpu); default: real chip")
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gym_pybullet_adrp_tpu.envs import rl as rlenv
+    from gym_pybullet_adrp_tpu.envs.core import AviaryConfig
+    from gym_pybullet_adrp_tpu.models.drone import drone_params
+    from gym_pybullet_adrp_tpu.parallel.distributed import (
+        make_mesh, rollout_throughput_fn,
+    )
+    from gym_pybullet_adrp_tpu.utils.enums import ActionType, DroneModel
+
+    rl_cfg = rlenv.RLConfig(
+        aviary=AviaryConfig(ctrl_freq=30), act_type=ActionType.RPM
+    )
+    params = drone_params(DroneModel.CF2X)
+    init_xyzs = np.array([[0.0, 0.0, 0.1125]])
+    init_rpys = np.zeros((1, 3))
+
+    mesh = make_mesh(1)
+    fn = rollout_throughput_fn(
+        mesh, rl_cfg, params, init_xyzs, init_rpys,
+        n_envs_per_device=args.envs, n_steps=args.steps,
+    )
+    key = jax.random.PRNGKey(0)[None]
+
+    # compile + warmup
+    jax.block_until_ready(fn(key))
+
+    best = float("inf")
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(key))
+        best = min(best, time.perf_counter() - t0)
+
+    env_steps = args.envs * args.steps
+    steps_per_sec = env_steps / best
+    print(
+        json.dumps(
+            {
+                "metric": "env_steps_per_sec_per_chip_4096envs",
+                "value": round(steps_per_sec, 1),
+                "unit": "env-steps/s",
+                "vs_baseline": round(steps_per_sec / 1e6, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

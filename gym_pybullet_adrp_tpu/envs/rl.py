@@ -237,4 +237,8 @@ def autoreset_step(cfg: RLConfig, params: DroneParams, reset_state: RLState,
         reset_state,
         new_state,
     )
+    # on episode end the returned obs is the first obs of the fresh episode
+    # (SB3 VecEnv autoreset semantics; reward/terminated refer to the ended
+    # episode and GAE masks the bootstrap with `done`)
+    obs = jnp.where(done, compute_obs(cfg, new_state), obs)
     return new_state, obs, reward, terminated, truncated

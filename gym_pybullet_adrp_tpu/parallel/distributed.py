@@ -1,0 +1,171 @@
+"""Multi-chip data-parallel training: shard_map over a device mesh.
+
+The reference has no distributed backend at all (SURVEY §2.2: single host,
+subprocess pipes). Here the scaling recipe follows the standard JAX pattern:
+pick a mesh, shard the env batch over the ``dp`` axis, replicate learner
+params, and let the per-device PPO update ``pmean`` its gradients over ICI.
+Rollout physics never leaves the device it lives on — the only cross-chip
+traffic is the gradient all-reduce, which is exactly the layout that rides
+ICI at full bandwidth.
+
+Works identically on a real TPU slice and on a virtual
+``--xla_force_host_platform_device_count=N`` CPU mesh (how the tests and the
+driver's dryrun exercise it without hardware).
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from gym_pybullet_adrp_tpu.envs import rl as rlenv
+from gym_pybullet_adrp_tpu.models.drone import DroneParams
+from gym_pybullet_adrp_tpu.rl import ppo
+
+AXIS = "dp"
+
+
+def make_mesh(n_devices=None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"need {n_devices} devices, have {len(devices)} "
+                f"({devices[0].platform})"
+            )
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (AXIS,))
+
+
+def make_distributed_ppo(
+    mesh: Mesh,
+    cfg: ppo.PPOConfig,
+    rl_cfg: rlenv.RLConfig,
+    params: DroneParams,
+    init_xyzs,
+    init_rpys,
+    dtype=jnp.float32,
+):
+    """Build (global_init, global_train_step) over the mesh.
+
+    ``cfg.n_envs`` is the PER-DEVICE env count; the global batch is
+    ``n_devices * n_envs * n_steps``. Returned train step is jitted with
+    shard_map: env state sharded P('dp'), learner params replicated P().
+    """
+    n_dev = mesh.devices.size
+    init_fn, train_step, _ = ppo.make_ppo(
+        cfg, rl_cfg, params, init_xyzs, init_rpys, dtype=dtype, axis_name=AXIS
+    )
+
+    # partition specs over the TrainState pytree: params/opt replicated,
+    # env batch + episode stats sharded on the leading env axis, one rng per
+    # device
+    def state_specs(ts: ppo.TrainState) -> ppo.TrainState:
+        rep = jax.tree_util.tree_map(lambda _: P(), ts.params)
+        opt = jax.tree_util.tree_map(lambda _: P(), ts.opt_state)
+        sharded = lambda tree: jax.tree_util.tree_map(lambda _: P(AXIS), tree)
+        return ppo.TrainState(
+            params=rep,
+            opt_state=opt,
+            env_state=sharded(ts.env_state),
+            last_obs=P(AXIS),
+            rng=P(AXIS),
+            ep_return=P(AXIS),
+            ep_len=P(AXIS),
+        )
+
+    def global_init(rng):
+        """Build the global TrainState: per-device shards stacked on axis 0."""
+        keys = jax.random.split(rng, n_dev)
+        states = [init_fn(k) for k in keys]
+        # params/opt_state identical across devices: take device 0's
+        merged = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *[s.env_state for s in states]
+        )
+        ts = ppo.TrainState(
+            params=states[0].params,
+            opt_state=states[0].opt_state,
+            env_state=merged,
+            last_obs=jnp.concatenate([s.last_obs for s in states], axis=0),
+            rng=jnp.stack([s.rng for s in states], axis=0),
+            ep_return=jnp.concatenate([s.ep_return for s in states], axis=0),
+            ep_len=jnp.concatenate([s.ep_len for s in states], axis=0),
+        )
+        return ts
+
+    def local_step(ts_local: ppo.TrainState):
+        # rng arrives as a (1, key_shape...) block per device
+        ts_local = ts_local._replace(rng=ts_local.rng[0])
+        ts_local, metrics = train_step(ts_local)
+        metrics = {
+            k: jax.lax.pmean(v.astype(jnp.float32), AXIS)
+            for k, v in metrics.items()
+        }
+        return ts_local._replace(rng=ts_local.rng[None]), metrics
+
+    dummy = jax.eval_shape(lambda: global_init(jax.random.PRNGKey(0)))
+    specs = state_specs(dummy)
+    metric_specs = {
+        "loss": P(), "mean_episode_return": P(), "mean_reward": P(),
+        "steps": P(),
+    }
+
+    sharded_step = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(specs,),
+        out_specs=(specs, metric_specs),
+        check_rep=False,
+    )
+    return global_init, jax.jit(sharded_step)
+
+
+def rollout_throughput_fn(mesh, rl_cfg, params, init_xyzs, init_rpys,
+                          n_envs_per_device: int, n_steps: int,
+                          dtype=jnp.float32):
+    """Pure env-stepping throughput workload, sharded over the mesh.
+
+    Steps ``n_devices * n_envs_per_device`` envs for ``n_steps`` control
+    steps with random RPM-type actions generated on-device. Returns a jitted
+    fn(key) -> scalar checksum; total env steps = n_dev*n_envs*n_steps.
+    """
+    n_dev = mesh.devices.size
+    reset_template = rlenv.rl_reset(rl_cfg, init_xyzs, init_rpys, dtype=dtype)
+    env_step = jax.vmap(
+        partial(rlenv.autoreset_step, rl_cfg, params, reset_template)
+    )
+
+    def local(key):
+        key = key[0]
+        env_state = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (n_envs_per_device,) + x.shape),
+            reset_template,
+        )
+        n = rl_cfg.aviary.num_drones
+
+        def body(carry, _):
+            env_state, key, acc = carry
+            key, k = jax.random.split(key)
+            action = jax.random.uniform(
+                k, (n_envs_per_device, n, rl_cfg.act_size),
+                minval=-0.05, maxval=0.05, dtype=dtype,
+            )
+            env_state, obs, reward, term, trunc = env_step(env_state, action)
+            return (env_state, key, acc + jnp.sum(reward)), None
+
+        (env_state, _, acc), _ = jax.lax.scan(
+            body, (env_state, key, jnp.zeros((), dtype=dtype)), None,
+            length=n_steps,
+        )
+        return jax.lax.psum(acc, AXIS)[None]
+
+    fn = shard_map(
+        local, mesh=mesh, in_specs=(P(AXIS),), out_specs=P(AXIS),
+        check_rep=False,
+    )
+    return jax.jit(fn)

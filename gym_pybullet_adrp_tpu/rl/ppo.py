@@ -1,0 +1,276 @@
+"""PPO learner over vmapped envs — pure JAX, one jitted train step.
+
+Replaces the reference's SB3 PPO training loop (reference
+examples/learn.py:72-94, which stepped ONE PyBullet env per rollout step
+through Python). Here the rollout is a ``lax.scan`` over time of a ``vmap``
+over thousands of env instances, and the PPO update (GAE + clipped surrogate,
+SB3-default hyperparameters) runs in the same XLA program — so a full
+iteration is a single device launch. Multi-chip scaling wraps this train
+step in ``shard_map`` over a device mesh (see ``parallel/``).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gym_pybullet_adrp_tpu.envs import rl as rlenv
+from gym_pybullet_adrp_tpu.models.drone import DroneParams
+from gym_pybullet_adrp_tpu.models.policy import (
+    ActorCritic, gaussian_entropy, gaussian_logp, sample_action,
+)
+
+
+@dataclass(frozen=True)
+class PPOConfig:
+    """SB3-default PPO hyperparameters (reference learn.py uses SB3 defaults)."""
+
+    n_envs: int = 256
+    n_steps: int = 64          # rollout horizon per env per iteration
+    n_epochs: int = 10
+    n_minibatches: int = 8
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    lr: float = 3e-4
+    ent_coef: float = 0.0
+    vf_coef: float = 0.5
+    max_grad_norm: float = 0.5
+
+    @property
+    def batch_size(self):
+        return self.n_envs * self.n_steps
+
+
+class Transition(NamedTuple):
+    obs: jnp.ndarray
+    action: jnp.ndarray
+    logp: jnp.ndarray
+    value: jnp.ndarray
+    reward: jnp.ndarray
+    done: jnp.ndarray
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    env_state: rlenv.RLState     # batched over n_envs
+    last_obs: jnp.ndarray        # (n_envs, obs_dim)
+    rng: jax.Array
+    # running episode-return bookkeeping (per env)
+    ep_return: jnp.ndarray
+    ep_len: jnp.ndarray
+
+
+def flatten_obs(cfg: rlenv.RLConfig, obs):
+    """(N, D) per-env obs -> flat vector: single-drone tasks squeeze the
+    drone axis, multi-drone concatenate (centralized learner; the reference
+    trains a single shared policy over the stacked obs the same way through
+    SB3's flatten extractor)."""
+    return obs.reshape(obs.shape[:-2] + (-1,))
+
+
+def make_ppo(cfg: PPOConfig, rl_cfg: rlenv.RLConfig, params: DroneParams,
+             init_xyzs, init_rpys, dtype=jnp.float32, axis_name=None):
+    """Build (init_fn, train_step_fn, eval_fn) for the given env config.
+
+    train_step: one PPO iteration = rollout(n_steps × n_envs) + update.
+    All returned functions are pure and jittable; ``train_step`` is the unit
+    that gets sharded across devices — pass ``axis_name`` when wrapping in
+    shard_map/pmap so gradients pmean over the mesh axis.
+    """
+    n_drones = rl_cfg.aviary.num_drones
+    act_dim = n_drones * rl_cfg.act_size
+    obs_dim = n_drones * rl_cfg.obs_size
+    network = ActorCritic(act_dim=act_dim)
+
+    reset_template = rlenv.rl_reset(rl_cfg, init_xyzs, init_rpys, dtype=dtype)
+
+    def batched_reset(n):
+        return jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (n,) + x.shape), reset_template
+        )
+
+    env_step = jax.vmap(
+        partial(rlenv.autoreset_step, rl_cfg, params, reset_template)
+    )
+
+    def init_fn(rng):
+        rng, k1 = jax.random.split(rng)
+        net_params = network.init(k1, jnp.zeros((1, obs_dim), dtype=dtype))
+        tx = optimizer(cfg)
+        env_state = batched_reset(cfg.n_envs)
+        obs = jax.vmap(partial(rlenv.compute_obs, rl_cfg))(env_state)
+        return TrainState(
+            params=net_params,
+            opt_state=tx.init(net_params),
+            env_state=env_state,
+            last_obs=flatten_obs(rl_cfg, obs).astype(dtype),
+            rng=rng,
+            ep_return=jnp.zeros(cfg.n_envs, dtype=dtype),
+            ep_len=jnp.zeros(cfg.n_envs, dtype=jnp.int32),
+        )
+
+    def optimizer(cfg):
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.adam(cfg.lr, eps=1e-5),
+        )
+
+    tx = optimizer(cfg)
+
+    def policy_step(params, obs, rng):
+        mean, log_std, value = network.apply(params, obs)
+        action, logp = sample_action(rng, mean, log_std)
+        return action, logp, value
+
+    def rollout_step(carry, _):
+        ts = carry
+        rng, k = jax.random.split(ts.rng)
+        action, logp, value = policy_step(ts.params, ts.last_obs, k)
+        act_env = action.reshape(cfg.n_envs, n_drones, rl_cfg.act_size)
+        act_env = jnp.clip(act_env, -1.0, 1.0)
+        env_state, obs, reward, terminated, truncated = env_step(
+            ts.env_state, act_env
+        )
+        done = terminated | truncated
+        flat_obs = flatten_obs(rl_cfg, obs).astype(dtype)
+        ep_return = ts.ep_return + reward
+        ep_len = ts.ep_len + 1
+        tr = Transition(
+            obs=ts.last_obs, action=action, logp=logp, value=value,
+            reward=reward.astype(dtype), done=done,
+        )
+        metrics = {
+            "finished_return": jnp.where(done, ep_return, jnp.nan),
+            "finished_len": jnp.where(done, ep_len, -1),
+        }
+        ts = ts._replace(
+            env_state=env_state,
+            last_obs=flat_obs,
+            rng=rng,
+            ep_return=jnp.where(done, 0.0, ep_return),
+            ep_len=jnp.where(done, 0, ep_len),
+        )
+        return ts, (tr, metrics)
+
+    def compute_gae(traj: Transition, last_value):
+        def scan_fn(carry, tr):
+            gae, next_value = carry
+            nonterminal = 1.0 - tr.done.astype(last_value.dtype)
+            delta = tr.reward + cfg.gamma * next_value * nonterminal - tr.value
+            gae = delta + cfg.gamma * cfg.gae_lambda * nonterminal * gae
+            return (gae, tr.value), gae
+
+        (_, _), advantages = jax.lax.scan(
+            scan_fn,
+            (jnp.zeros_like(last_value), last_value),
+            traj,
+            reverse=True,
+        )
+        return advantages, advantages + traj.value
+
+    def loss_fn(params, batch, advantages, returns):
+        mean, log_std, value = network.apply(params, batch.obs)
+        logp = gaussian_logp(batch.action, mean, log_std)
+        ratio = jnp.exp(logp - batch.logp)
+        adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+        pg1 = ratio * adv
+        pg2 = jnp.clip(ratio, 1.0 - cfg.clip_eps, 1.0 + cfg.clip_eps) * adv
+        pg_loss = -jnp.mean(jnp.minimum(pg1, pg2))
+        v_loss = 0.5 * jnp.mean((value - returns) ** 2)
+        ent = gaussian_entropy(log_std)
+        total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
+        return total, (pg_loss, v_loss, ent)
+
+    def update_epoch(carry, _):
+        params, opt_state, rng, traj, advantages, returns = carry
+        rng, k = jax.random.split(rng)
+        batch_size = cfg.batch_size
+        perm = jax.random.permutation(k, batch_size)
+
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((batch_size,) + x.shape[2:]), traj
+        )
+        adv_flat = advantages.reshape(batch_size)
+        ret_flat = returns.reshape(batch_size)
+
+        mb = batch_size // cfg.n_minibatches
+        perm = perm[: mb * cfg.n_minibatches].reshape(cfg.n_minibatches, mb)
+
+        def minibatch_step(carry, idx):
+            params, opt_state = carry
+            batch = jax.tree_util.tree_map(lambda x: x[idx], flat)
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, adv_flat[idx], ret_flat[idx]
+            )
+            # cross-device gradient sync when running under shard_map/pmap
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name=axis_name)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            minibatch_step, (params, opt_state), perm
+        )
+        return (params, opt_state, rng, traj, advantages, returns), losses
+
+    def train_step(ts: TrainState):
+        """One PPO iteration. Returns (train_state, metrics dict)."""
+        ts, (traj, roll_metrics) = jax.lax.scan(
+            rollout_step, ts, None, length=cfg.n_steps
+        )
+        _, _, last_value = network.apply(ts.params, ts.last_obs)
+        advantages, returns = compute_gae(traj, last_value)
+
+        carry = (ts.params, ts.opt_state, ts.rng, traj, advantages, returns)
+        carry, losses = jax.lax.scan(update_epoch, carry, None,
+                                     length=cfg.n_epochs)
+        params, opt_state, rng = carry[0], carry[1], carry[2]
+        ts = ts._replace(params=params, opt_state=opt_state, rng=rng)
+
+        fin = roll_metrics["finished_return"]
+        mean_return = jnp.nanmean(fin)
+        metrics = {
+            "loss": losses.mean(),
+            "mean_episode_return": mean_return,
+            "mean_reward": traj.reward.mean(),
+            "steps": jnp.asarray(cfg.batch_size, dtype=jnp.int32),
+        }
+        return ts, metrics
+
+    def eval_rollout(params, rng, n_episodes_steps: int):
+        """Deterministic policy rollout for evaluation (mean action),
+        mirroring SB3 evaluate_policy(deterministic=True), learn.py:142-145."""
+        env_state = batched_reset(1)
+        obs = jax.vmap(partial(rlenv.compute_obs, rl_cfg))(env_state)
+        obs = flatten_obs(rl_cfg, obs).astype(dtype)
+
+        def step_fn(carry, _):
+            env_state, obs, ret, done_seen = carry
+            mean, _, _ = network.apply(params, obs)
+            act = jnp.clip(
+                mean.reshape(1, n_drones, rl_cfg.act_size), -1.0, 1.0
+            )
+            env_state, obs2, reward, term, trunc = env_step(env_state, act)
+            done = term | trunc
+            ret = ret + jnp.where(done_seen, 0.0, reward)
+            done_seen = done_seen | done
+            obs2 = flatten_obs(rl_cfg, obs2).astype(dtype)
+            return (env_state, obs2, ret, done_seen), None
+
+        carry = (
+            env_state, obs, jnp.zeros(1, dtype=dtype),
+            jnp.zeros(1, dtype=bool),
+        )
+        (_, _, ret, _), _ = jax.lax.scan(
+            step_fn, carry, None, length=n_episodes_steps
+        )
+        return ret
+
+    return init_fn, train_step, eval_rollout
