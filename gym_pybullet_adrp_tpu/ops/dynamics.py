@@ -225,13 +225,17 @@ def dyn_substep(params: DroneParams, state: PhysState, rpm, dt,
 
 
 def pyb_substep(params: DroneParams, state: PhysState, rpm, prev_rpm, dt,
-                model: DroneModel, physics: Physics) -> PhysState:
+                model: DroneModel, physics: Physics,
+                ext_force_world=None) -> PhysState:
     """PyBullet-analogue substep: force pipeline + semi-implicit Euler.
 
     Force composition per physics mode follows BaseAviary.step:347-376 /
     MultiRaceAviary._apply_physics:510-530. Bullet's default rigid-body
     integration has no gyroscopic term, so: v += dt·F/m; ω_b += dt·J⁻¹τ_b;
     x += dt·v'; q ← exp(½ω_w'dt)⊗q. Ground contact resolved analytically.
+
+    ``ext_force_world``: optional (..., 3) world-frame disturbance force at
+    the COM (the race env's wind disturbance, MultiRaceAviary.py:532-544).
     """
     dtype = rpm.dtype
     thrust_z, torque = thrust_torques(params, rpm, model, pyb_sign=True)
@@ -260,6 +264,8 @@ def pyb_substep(params: DroneParams, state: PhysState, rpm, prev_rpm, dt,
         [zeros, zeros, jnp.broadcast_to(-params.gravity, zeros.shape)], axis=-1
     )
     force_world = force_world + gravity
+    if ext_force_world is not None:
+        force_world = force_world + ext_force_world
 
     vel = state.vel + dt * force_world / params.mass[..., None]
     omega = state.omega + dt * params.J_inv * torque
