@@ -323,22 +323,25 @@ def _collisions(spec: RaceSpec, state: RaceState) -> jnp.ndarray:
     COMPETE, reference reset:151-159])."""
     pos = state.phys.pos
     radius = jnp.broadcast_to(state.drone.collision_r, pos.shape[:-1])
+    half_h = state.drone.collision_h / 2.0
 
-    gate_d = jax.vmap(
-        lambda gp: col.drone_gate_distance(pos, gp[:6]), out_axes=-1
+    gate_hit = jax.vmap(
+        lambda gp: col.drone_gate_collision(pos, gp[:6], radius, half_h),
+        out_axes=-1,
     )(state.gates_actual)  # (N, G)
-    obst_d = jax.vmap(
-        lambda op: col.drone_obstacle_distance(pos, op), out_axes=-1
+    obst_hit = jax.vmap(
+        lambda op: col.drone_obstacle_collision(pos, op, radius, half_h),
+        out_axes=-1,
     )(state.obstacles_actual)  # (N, O)
     hit = (
-        jnp.any(gate_d < radius[..., None], axis=-1)
-        | jnp.any(obst_d < radius[..., None], axis=-1)
+        jnp.any(gate_hit, axis=-1)
+        | jnp.any(obst_hit, axis=-1)
         | col.ground_collision(
             pos, state.drone.collision_h, state.drone.collision_z_offset
         )
     )
     if spec.racemode == RaceMode.COMPETE:
-        dd = col.drone_drone_collision(pos, radius[..., None])
+        dd = col.drone_drone_collision(pos, radius[..., None], half_h)
         hit = hit | jnp.any(dd, axis=-1)
     return hit
 

@@ -138,13 +138,98 @@ def gate_pass_rays(drone_pos, gate_pose, gate_type, drone_radius):
     return jnp.any(d < jnp.asarray(drone_radius)[..., None], axis=-1)
 
 
-def drone_drone_collision(pos, radius):
-    """(N, N) bool pairwise collision matrix, drones as spheres (COMPETE
-    mode elimination, reference reset:153-159 + _collision:552-562)."""
-    d = jnp.linalg.norm(pos[..., :, None, :] - pos[..., None, :, :], axis=-1)
+def drone_drone_collision(pos, radius, half_h=0.0125):
+    """(N, N) bool pairwise collision matrix, drones as flat cylinders
+    (COMPETE mode elimination, reference reset:153-159 + _collision:552-562)."""
+    delta = pos[..., :, None, :] - pos[..., None, :, :]
+    dxy = jnp.linalg.norm(delta[..., :2], axis=-1)
+    dz = jnp.abs(delta[..., 2])
     n = pos.shape[-2]
-    hit = d < 2.0 * radius
+    hit = (dxy < 2.0 * radius) & (dz < 2.0 * half_h)
     return hit & ~jnp.eye(n, dtype=bool)
+
+
+# ---------------------------------------------------------------------------
+# cylinder-exact contact tests (drone = flat cylinder r=collision_r,
+# half-height collision_h/2 — the cf2 URDF collision shape)
+
+
+def _vertical_capsule_hit(pos, center_xy_a, z_lo, z_hi, obs_r, drone_r, half_h):
+    """Drone cylinder vs vertical cylinder: horizontal overlap AND z overlap."""
+    dxy = jnp.linalg.norm(pos[..., :2] - center_xy_a, axis=-1)
+    z = pos[..., 2]
+    return (
+        (dxy < obs_r + drone_r)
+        & (z - half_h < z_hi)
+        & (z + half_h > z_lo)
+    )
+
+
+def drone_gate_collision(drone_pos, gate_pose, drone_r, half_h=0.0125):
+    """Exact-enough drone-cylinder vs gate-frame contact test.
+
+    Decomposes each frame element into horizontal/vertical gap tests so a
+    drone skimming just above the support column (as the reference's
+    hand-tuned race line does) is NOT flagged — matching PyBullet's
+    box/cylinder contact manifold to within the beam-corner rounding.
+    drone_pos (..., 3); gate_pose (..., 6). Returns bool (...,).
+    """
+    x, y, z, yaw = (
+        gate_pose[..., 0], gate_pose[..., 1], gate_pose[..., 2],
+        gate_pose[..., 5],
+    )
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    ux = jnp.stack([c, s], axis=-1)                       # beam direction
+    center_xy = jnp.stack([x, y], axis=-1)
+    rel_xy = drone_pos[..., :2] - center_xy
+    along = jnp.sum(rel_xy * ux, axis=-1)                 # along beam axis
+    perp = jnp.abs(rel_xy[..., 0] * (-ux[..., 1]) + rel_xy[..., 1] * ux[..., 0])
+    dz_center = drone_pos[..., 2] - z
+
+    within_span = jnp.abs(along) < GATE_EDGE_HALF_LEN + drone_r
+
+    # horizontal beams at z ± 0.225: box half 0.025 in perp and z
+    horiz_hit = (
+        within_span
+        & (perp < GATE_BEAM_HALF + drone_r)
+        & (
+            (jnp.abs(dz_center - GATE_OPENING_HALF) < GATE_BEAM_HALF + half_h)
+            | (jnp.abs(dz_center + GATE_OPENING_HALF) < GATE_BEAM_HALF + half_h)
+        )
+    )
+
+    # vertical beams at along = ±0.225 spanning z ± 0.25
+    vert_hit = (
+        (perp < GATE_BEAM_HALF + drone_r)
+        & (
+            (jnp.abs(along - GATE_OPENING_HALF) < GATE_BEAM_HALF + drone_r)
+            | (jnp.abs(along + GATE_OPENING_HALF) < GATE_BEAM_HALF + drone_r)
+        )
+        & (jnp.abs(dz_center) < GATE_EDGE_HALF_LEN + half_h)
+    )
+
+    # support column below the opening
+    sup_lo = z + GATE_SUPPORT_CENTER_DZ - GATE_SUPPORT_HALF_LEN
+    sup_hi = z + GATE_SUPPORT_CENTER_DZ + GATE_SUPPORT_HALF_LEN
+    sup_hit = _vertical_capsule_hit(
+        drone_pos, center_xy, sup_lo, sup_hi, GATE_SUPPORT_RADIUS, drone_r,
+        half_h,
+    )
+    return horiz_hit | vert_hit | sup_hit
+
+
+def drone_obstacle_collision(drone_pos, obstacle_pose, drone_r, half_h=0.0125):
+    """Drone cylinder vs obstacle cylinder (r=0.05, z ± 0.4 around center)."""
+    center = obstacle_pose[..., :3]
+    return _vertical_capsule_hit(
+        drone_pos,
+        center[..., :2],
+        center[..., 2] - OBSTACLE_HALF_LEN,
+        center[..., 2] + OBSTACLE_HALF_LEN,
+        OBSTACLE_RADIUS,
+        drone_r,
+        half_h,
+    )
 
 
 def ground_collision(pos, collision_h, collision_z_offset):
