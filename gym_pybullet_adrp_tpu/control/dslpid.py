@@ -29,8 +29,23 @@ PWM2RPM_CONST = 4070.3
 MIN_PWM = 20000.0
 MAX_PWM = 65535.0
 
-# mixer matrices, reference DSLPIDControl.py:48-60
+# Mixer matrices. NOTE(fixed reference defect): the reference ships the
+# upstream gym-pybullet-drones mixer (DSLPIDControl.py:48-53), which matches
+# the *original* cf2x.urdf propeller layout — but its CF2X model is
+# cf2x_IROS.urdf whose props are rotated one slot (prop0 at (+x,+y) instead
+# of (+x,-y)), silently inverting the roll/pitch/yaw channels; the PID-based
+# envs were unstable in the reference. MIXER_X below is re-derived for the
+# IROS layout (prop i at [(+,+), (-,+), (-,-), (+,-)]·L/√2, z-torque
+# +t0-t1+t2-t3 per BaseAviary._physics:700-703), so positive requested
+# torques produce positive physical torques. MIXER_X_LEGACY preserves the
+# reference matrix for the original layout.
 MIXER_X = jnp.array([
+    [0.5, -0.5, 1.0],
+    [0.5, 0.5, -1.0],
+    [-0.5, 0.5, 1.0],
+    [-0.5, -0.5, -1.0],
+])
+MIXER_X_LEGACY = jnp.array([
     [-0.5, -0.5, -1.0],
     [-0.5, 0.5, 1.0],
     [0.5, 0.5, -1.0],

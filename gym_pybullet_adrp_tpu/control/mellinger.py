@@ -90,7 +90,9 @@ def lpf2p_coeffs(sample_freq: float, cutoff_freq: float):
     b2 = b0
     a1 = 2.0 * (ohm * ohm - 1.0) / c
     a2 = (1.0 - 2.0 * np.cos(np.pi / 4.0) * ohm + ohm * ohm) / c
-    return b0, b1, b2, a1, a2
+    # plain Python floats: weakly typed under JAX promotion so the filter
+    # never upcasts f32 state
+    return float(b0), float(b1), float(b2), float(a1), float(a2)
 
 
 def lpf2p_apply(coeffs, state: Lpf2pState, sample):

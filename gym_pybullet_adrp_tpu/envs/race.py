@@ -113,14 +113,20 @@ class RaceSpec:
     def from_config(cls, config, num_drones: int, racemode: RaceMode,
                     physics: Physics = Physics.PYB):
         """Build from a loaded YAML scenario (utils/config.py)."""
+        # NOTE(reference quirk preserved): MultiRaceAviary never reads the
+        # config's ctrl_freq/pyb_freq — it always runs at FIRMWARE_FREQ=500 /
+        # CTRL_FREQ=25 (reference MultiRaceAviary.__init__:37-38; the
+        # getting_started config's ctrl_freq: 30 doesn't even divide 500).
+        from gym_pybullet_adrp_tpu.utils.constants import CTRL_FREQ, FIRMWARE_FREQ
+
         kw = dict(
             num_drones=num_drones,
             num_gates=len(config.gates),
             num_obstacles=len(config.obstacles),
             racemode=racemode,
             physics=physics,
-            pyb_freq=int(config.pyb_freq),
-            ctrl_freq=int(config.ctrl_freq),
+            pyb_freq=FIRMWARE_FREQ,
+            ctrl_freq=CTRL_FREQ,
             episode_len_sec=float(config.episode_len_sec),
             done_on_completion=bool(config.get("done_on_completion", True)),
             done_on_collision=bool(config.get("done_on_collision", True)),

@@ -207,7 +207,9 @@ def rl_step(cfg: RLConfig, params: DroneParams, state: RLState, action):
     Equivalent of BaseAviary.step:262-387 specialized for the RL envs,
     fully traceable (no data-dependent control flow).
     """
-    action = jnp.asarray(action).reshape(cfg.aviary.num_drones, cfg.act_size)
+    action = jnp.asarray(action, dtype=state.core.phys.pos.dtype).reshape(
+        cfg.aviary.num_drones, cfg.act_size
+    )
     # push into the history buffer (reference appends in _preprocessAction:187)
     buf = jnp.concatenate([state.action_buffer[1:], action[None]], axis=0)
     rpm, ctl = preprocess_action(cfg, params, state, action)

@@ -84,7 +84,14 @@ def thrust_torques(params: DroneParams, rpm, model: DroneModel, pyb_sign: bool):
     t0, t1, t2, t3 = torques[..., 0], torques[..., 1], torques[..., 2], torques[..., 3]
 
     if pyb_sign:
-        z_torque = t0 - t1 + t2 - t3
+        # NOTE(documented deviation): the reference's _physics applies the
+        # IROS-order sign to every model (:700-703). Here CF2P gets the sign
+        # matching its own (original-layout) urdf so its controller algebra
+        # is consistent; CF2X/RACE keep the IROS sign.
+        if model == DroneModel.CF2P:
+            z_torque = -t0 + t1 - t2 + t3
+        else:
+            z_torque = t0 - t1 + t2 - t3
     else:
         if model == DroneModel.RACE:
             t0, t1, t2, t3 = -t0, -t1, -t2, -t3
