@@ -1,0 +1,13 @@
+"""Environment suite: functional cores + Gymnasium-API classes."""
+
+from gym_pybullet_adrp_tpu.envs.aviary import (
+    BaseRLAviary, CtrlAviary, HoverAviary, MultiHoverAviary, VelocityAviary,
+)
+from gym_pybullet_adrp_tpu.envs.beta import BetaAviary
+from gym_pybullet_adrp_tpu.envs.cf import CFAviary
+from gym_pybullet_adrp_tpu.envs.race import MultiRaceAviary
+
+__all__ = [
+    "BaseRLAviary", "BetaAviary", "CFAviary", "CtrlAviary", "HoverAviary",
+    "MultiHoverAviary", "MultiRaceAviary", "VelocityAviary",
+]
