@@ -1,0 +1,50 @@
+"""Profiling / tracing utilities.
+
+The reference's only perf instrumentation was the wall-clock-vs-sim-time
+printout in ``render()`` (reference BaseAviary.py:408-416). Here profiling
+is first-class: ``jax.profiler`` trace capture around any callable, a
+steps/sec measurement harness, and a real-time-factor helper matching the
+reference's readout.
+"""
+
+import contextlib
+import time
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/jax-trace"):
+    """Capture a jax.profiler trace (view with TensorBoard / xprof)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def measure_steps_per_sec(fn, *args, n_warmup: int = 1, n_repeats: int = 3,
+                          steps_per_call: int = 1):
+    """Best-of-N throughput of a jitted callable. Returns (steps/s, seconds)."""
+    for _ in range(n_warmup):
+        jax.block_until_ready(fn(*args))
+    best = float("inf")
+    for _ in range(n_repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return steps_per_call / best, best
+
+
+class RealTimeFactor:
+    """Wall-clock vs sim-time ratio (reference render():408-410)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.start = time.time()
+
+    def factor(self, sim_time_sec: float) -> float:
+        wall = max(time.time() - self.start, 1e-9)
+        return sim_time_sec / wall
