@@ -25,6 +25,7 @@ def main():
 
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 

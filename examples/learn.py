@@ -44,6 +44,8 @@ def run(
     max_iters=2000,
 ):
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     import jax.numpy as jnp
     from flax import serialization
 

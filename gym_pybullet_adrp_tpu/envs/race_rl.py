@@ -1,0 +1,136 @@
+"""RL training interface for the race environment.
+
+The reference trained race policies by wrapping MultiRaceAviary in
+``DroneObservationWrapper`` + ``RewardWrapper`` and feeding it to SB3
+(reference utils/wrapper.py, user_controller/RLController*.py consume the
+resulting policies). Those wrappers are host-side Python; here the same
+shaping is a pure function composed into the jitted step so race training
+runs on thousands of vmapped env instances.
+
+Action convention matches the reference RL pathway: policy action in
+[-1, 1]^4 scaled by [1, 1, 1, pi], interpreted as a FULLSTATE position
+offset target (reference RLController.predict:39-73 and MultiRaceAviary's
+ndarray-action conversion, step:190-194).
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gym_pybullet_adrp_tpu.envs import race as race_mod
+from gym_pybullet_adrp_tpu.envs.race import RaceSpec, RaceState, RaceTrack
+from gym_pybullet_adrp_tpu.utils.enums import Command
+
+ACTION_SCALE = jnp.asarray([1.0, 1.0, 1.0, jnp.pi])
+
+
+class RaceRLState(NamedTuple):
+    """Race state + reward-shaping memory (reference RewardWrapper state,
+    wrapper.py:80-99)."""
+
+    race: RaceState
+    current_gate_id: jnp.ndarray   # () int32 (drone 0, as in the wrapper)
+    current_target: jnp.ndarray    # (4,) [x, y, z, yaw] of the tracked gate
+    previous_pos: jnp.ndarray      # (3,)
+
+
+def rl_race_reset(spec: RaceSpec, track: RaceTrack, key,
+                  dtype=jnp.float32) -> RaceRLState:
+    rs = race_mod.race_reset(spec, track, key, dtype=dtype)
+    obs = race_mod.compute_obs(spec, track, rs)
+    return RaceRLState(
+        race=rs,
+        current_gate_id=obs[0, -1].astype(jnp.int32),
+        current_target=obs[0, 12:16],
+        previous_pos=obs[0, 0:3],
+    )
+
+
+def shaped_reward(spec: RaceSpec, state: RaceRLState, obs, terminated,
+                  task_completed):
+    """Dense progress + sparse pass/collision/lap reward
+    (reference RewardWrapper._compute_reward:121-186, drone 0).
+
+    Returns (reward, new_shaping_state_fields).
+    """
+    num_gates = spec.num_gates
+    gate_id = obs[0, -1].astype(jnp.int32)
+    gate_positions = obs[0, 12:12 + 4 * num_gates].reshape(num_gates, 4)
+
+    passed = gate_id > (state.current_gate_id % num_gates)
+    new_gate_id = jnp.where(passed, gate_id, state.current_gate_id)
+    new_target = jnp.where(
+        passed,
+        gate_positions[jnp.clip(gate_id, 0, num_gates - 1)],
+        state.current_target,
+    )
+    r_passed = jnp.where(passed, 5.0, 0.0)
+    r_collision = jnp.where(terminated & ~task_completed, -1.0, 0.0)
+    r_lap = jnp.where(terminated & task_completed, 10.0, 0.0)
+
+    pos = obs[0, 0:3]
+    d_prev_xy = jnp.linalg.norm(new_target[0:2] - state.previous_pos[0:2])
+    d_cur_xy = jnp.linalg.norm(new_target[0:2] - pos[0:2])
+    d_prev_z = jnp.abs(new_target[2] - state.previous_pos[2])
+    d_cur_z = jnp.abs(new_target[2] - pos[2])
+    reward = (
+        (d_prev_xy - d_cur_xy) + (d_prev_z - d_cur_z)
+        + r_passed + r_collision + r_lap
+    )
+    return reward, new_gate_id, new_target, pos
+
+
+def rl_race_step(spec: RaceSpec, track: RaceTrack, state: RaceRLState,
+                 action, end_after_gate: int = 0):
+    """One shaped training step.
+
+    action: (N, 4) in [-1, 1]; scaled to [1,1,1,pi] and sent as FULLSTATE
+    target positions. ``end_after_gate > 0`` reproduces
+    DroneObservationWrapper's early termination after that many gates
+    (reference wrapper.py:61-63, used with 2 for twogates training) and its
+    yaw-zeroing (:52-58).
+
+    Returns (state, obs, reward, terminated, truncated).
+    """
+    action = action * ACTION_SCALE.astype(action.dtype)
+    if end_after_gate:
+        action = action.at[:, 3].set(0.0)  # zero yaw actions
+    cmd_ids, args = race_mod.actions_to_commands(
+        spec, action, state.race.step_counter.astype(action.dtype)
+    )
+    rs, obs, _, terminated, truncated, info = race_mod.race_step(
+        spec, track, state.race, cmd_ids, args
+    )
+    if end_after_gate:
+        terminated = terminated | (rs.current_gate[0] >= end_after_gate)
+
+    reward, new_gate_id, new_target, pos = shaped_reward(
+        spec, state, obs, terminated, info["task_completed"]
+    )
+    new_state = RaceRLState(
+        race=rs,
+        current_gate_id=new_gate_id,
+        current_target=new_target,
+        previous_pos=pos,
+    )
+    return new_state, obs, reward, terminated, truncated
+
+
+def autoreset_race_step(spec: RaceSpec, track: RaceTrack, state: RaceRLState,
+                        action, key, end_after_gate: int = 0):
+    """Step + on-done re-randomized reset (fresh PRNG fold per episode)."""
+    new_state, obs, reward, terminated, truncated = rl_race_step(
+        spec, track, state, action, end_after_gate
+    )
+    done = terminated | truncated
+    reset_state = rl_race_reset(spec, track, key, dtype=obs.dtype)
+    new_state = jax.tree_util.tree_map(
+        lambda r, s: jnp.where(jnp.reshape(done, (1,) * s.ndim), r, s),
+        reset_state,
+        new_state,
+    )
+    obs = jnp.where(
+        done, race_mod.compute_obs(spec, track, new_state.race), obs
+    )
+    return new_state, obs, reward, terminated, truncated

@@ -7,11 +7,16 @@ over thousands of env instances, and the PPO update (GAE + clipped surrogate,
 SB3-default hyperparameters) runs in the same XLA program — so a full
 iteration is a single device launch. Multi-chip scaling wraps this train
 step in ``shard_map`` over a device mesh (see ``parallel/``).
+
+Two entry points:
+* ``make_ppo``      — hover/multihover envs (the reference's learn.py tasks)
+* ``make_ppo_core`` — any environment via an ``EnvAdapter`` (used by the
+  race trainer, scripts/train_race.py)
 """
 
 from dataclasses import dataclass
 from functools import partial
-from typing import NamedTuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +51,22 @@ class PPOConfig:
         return self.n_envs * self.n_steps
 
 
+class EnvAdapter(NamedTuple):
+    """Minimal batched-env interface PPO trains against.
+
+    batched_reset(key) -> env_state (leaves carry a leading n_envs axis)
+    step(env_state, action (n_envs, act_dim), key)
+        -> (env_state, flat_obs (n_envs, obs_dim), reward (n_envs,),
+            done (n_envs,))  with autoreset semantics (post-done obs is the
+            fresh episode's first obs).
+    """
+
+    batched_reset: Callable
+    step: Callable
+    obs_dim: int
+    act_dim: int
+
+
 class Transition(NamedTuple):
     obs: jnp.ndarray
     action: jnp.ndarray
@@ -58,87 +79,51 @@ class Transition(NamedTuple):
 class TrainState(NamedTuple):
     params: dict
     opt_state: optax.OptState
-    env_state: rlenv.RLState     # batched over n_envs
+    env_state: object            # batched env pytree
     last_obs: jnp.ndarray        # (n_envs, obs_dim)
     rng: jax.Array
-    # running episode-return bookkeeping (per env)
     ep_return: jnp.ndarray
     ep_len: jnp.ndarray
 
 
-def flatten_obs(cfg: rlenv.RLConfig, obs):
-    """(N, D) per-env obs -> flat vector: single-drone tasks squeeze the
-    drone axis, multi-drone concatenate (centralized learner; the reference
-    trains a single shared policy over the stacked obs the same way through
-    SB3's flatten extractor)."""
-    return obs.reshape(obs.shape[:-2] + (-1,))
+def make_ppo_core(cfg: PPOConfig, adapter: EnvAdapter, dtype=jnp.float32,
+                  axis_name=None):
+    """Build (init_fn, train_step, eval_rollout) for any EnvAdapter.
 
-
-def make_ppo(cfg: PPOConfig, rl_cfg: rlenv.RLConfig, params: DroneParams,
-             init_xyzs, init_rpys, dtype=jnp.float32, axis_name=None):
-    """Build (init_fn, train_step_fn, eval_fn) for the given env config.
-
-    train_step: one PPO iteration = rollout(n_steps × n_envs) + update.
-    All returned functions are pure and jittable; ``train_step`` is the unit
-    that gets sharded across devices — pass ``axis_name`` when wrapping in
-    shard_map/pmap so gradients pmean over the mesh axis.
+    Pass ``axis_name`` when wrapping in shard_map/pmap so gradients pmean
+    over the mesh axis.
     """
-    n_drones = rl_cfg.aviary.num_drones
-    act_dim = n_drones * rl_cfg.act_size
-    obs_dim = n_drones * rl_cfg.obs_size
-    network = ActorCritic(act_dim=act_dim)
-
-    reset_template = rlenv.rl_reset(rl_cfg, init_xyzs, init_rpys, dtype=dtype)
-
-    def batched_reset(n):
-        return jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(x, (n,) + x.shape), reset_template
-        )
-
-    env_step = jax.vmap(
-        partial(rlenv.autoreset_step, rl_cfg, params, reset_template)
+    network = ActorCritic(act_dim=adapter.act_dim)
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adam(cfg.lr, eps=1e-5),
     )
 
     def init_fn(rng):
-        rng, k1 = jax.random.split(rng)
-        net_params = network.init(k1, jnp.zeros((1, obs_dim), dtype=dtype))
-        tx = optimizer(cfg)
-        env_state = batched_reset(cfg.n_envs)
-        obs = jax.vmap(partial(rlenv.compute_obs, rl_cfg))(env_state)
+        rng, k1, k2, k3 = jax.random.split(rng, 4)
+        net_params = network.init(
+            k1, jnp.zeros((1, adapter.obs_dim), dtype=dtype)
+        )
+        env_state, obs = adapter.batched_reset(k2)
         return TrainState(
             params=net_params,
             opt_state=tx.init(net_params),
             env_state=env_state,
-            last_obs=flatten_obs(rl_cfg, obs).astype(dtype),
+            last_obs=obs.astype(dtype),
             rng=rng,
             ep_return=jnp.zeros(cfg.n_envs, dtype=dtype),
             ep_len=jnp.zeros(cfg.n_envs, dtype=jnp.int32),
         )
 
-    def optimizer(cfg):
-        return optax.chain(
-            optax.clip_by_global_norm(cfg.max_grad_norm),
-            optax.adam(cfg.lr, eps=1e-5),
-        )
-
-    tx = optimizer(cfg)
-
-    def policy_step(params, obs, rng):
-        mean, log_std, value = network.apply(params, obs)
-        action, logp = sample_action(rng, mean, log_std)
-        return action, logp, value
-
     def rollout_step(carry, _):
         ts = carry
-        rng, k = jax.random.split(ts.rng)
-        action, logp, value = policy_step(ts.params, ts.last_obs, k)
-        act_env = action.reshape(cfg.n_envs, n_drones, rl_cfg.act_size)
-        act_env = jnp.clip(act_env, -1.0, 1.0)
-        env_state, obs, reward, terminated, truncated = env_step(
-            ts.env_state, act_env
+        rng, k_act, k_env = jax.random.split(ts.rng, 3)
+        mean, log_std, value = network.apply(ts.params, ts.last_obs)
+        action, logp = sample_action(k_act, mean, log_std)
+        action_clipped = jnp.clip(action, -1.0, 1.0)
+        env_state, obs, reward, done = adapter.step(
+            ts.env_state, action_clipped, k_env
         )
-        done = terminated | truncated
-        flat_obs = flatten_obs(rl_cfg, obs).astype(dtype)
         ep_return = ts.ep_return + reward
         ep_len = ts.ep_len + 1
         tr = Transition(
@@ -151,7 +136,7 @@ def make_ppo(cfg: PPOConfig, rl_cfg: rlenv.RLConfig, params: DroneParams,
         }
         ts = ts._replace(
             env_state=env_state,
-            last_obs=flat_obs,
+            last_obs=obs.astype(dtype),
             rng=rng,
             ep_return=jnp.where(done, 0.0, ep_return),
             ep_len=jnp.where(done, 0, ep_len),
@@ -208,7 +193,6 @@ def make_ppo(cfg: PPOConfig, rl_cfg: rlenv.RLConfig, params: DroneParams,
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch, adv_flat[idx], ret_flat[idx]
             )
-            # cross-device gradient sync when running under shard_map/pmap
             if axis_name is not None:
                 grads = jax.lax.pmean(grads, axis_name=axis_name)
             updates, opt_state = tx.update(grads, opt_state, params)
@@ -234,43 +218,96 @@ def make_ppo(cfg: PPOConfig, rl_cfg: rlenv.RLConfig, params: DroneParams,
         params, opt_state, rng = carry[0], carry[1], carry[2]
         ts = ts._replace(params=params, opt_state=opt_state, rng=rng)
 
-        fin = roll_metrics["finished_return"]
-        mean_return = jnp.nanmean(fin)
         metrics = {
             "loss": losses.mean(),
-            "mean_episode_return": mean_return,
+            "mean_episode_return": jnp.nanmean(roll_metrics["finished_return"]),
             "mean_reward": traj.reward.mean(),
             "steps": jnp.asarray(cfg.batch_size, dtype=jnp.int32),
         }
         return ts, metrics
 
-    def eval_rollout(params, rng, n_episodes_steps: int):
-        """Deterministic policy rollout for evaluation (mean action),
-        mirroring SB3 evaluate_policy(deterministic=True), learn.py:142-145."""
-        env_state = batched_reset(1)
-        obs = jax.vmap(partial(rlenv.compute_obs, rl_cfg))(env_state)
-        obs = flatten_obs(rl_cfg, obs).astype(dtype)
-
+    def eval_rollout(params, rng, n_steps: int, eval_reset_key=0):
+        """Deterministic (mean-action) single-env return, first episode only
+        (SB3 evaluate_policy(deterministic=True), reference learn.py:142-145)."""
+        env_state, obs = adapter.batched_reset(
+            jax.random.PRNGKey(eval_reset_key)
+        )
+        # use only the first env of the batch; adapter batches are cheap
         def step_fn(carry, _):
             env_state, obs, ret, done_seen = carry
             mean, _, _ = network.apply(params, obs)
-            act = jnp.clip(
-                mean.reshape(1, n_drones, rl_cfg.act_size), -1.0, 1.0
+            act = jnp.clip(mean, -1.0, 1.0)
+            env_state, obs2, reward, done = adapter.step(
+                env_state, act, jax.random.PRNGKey(0)
             )
-            env_state, obs2, reward, term, trunc = env_step(env_state, act)
-            done = term | trunc
             ret = ret + jnp.where(done_seen, 0.0, reward)
             done_seen = done_seen | done
-            obs2 = flatten_obs(rl_cfg, obs2).astype(dtype)
-            return (env_state, obs2, ret, done_seen), None
+            return (env_state, obs2.astype(dtype), ret, done_seen), None
 
         carry = (
-            env_state, obs, jnp.zeros(1, dtype=dtype),
-            jnp.zeros(1, dtype=bool),
+            env_state, obs.astype(dtype),
+            jnp.zeros(obs.shape[0], dtype=dtype),
+            jnp.zeros(obs.shape[0], dtype=bool),
         )
-        (_, _, ret, _), _ = jax.lax.scan(
-            step_fn, carry, None, length=n_episodes_steps
-        )
+        (_, _, ret, _), _ = jax.lax.scan(step_fn, carry, None, length=n_steps)
         return ret
 
     return init_fn, train_step, eval_rollout
+
+
+# ---------------------------------------------------------------------------
+# hover/multihover adapter (the reference learn.py tasks)
+
+
+def hover_adapter(cfg: PPOConfig, rl_cfg: rlenv.RLConfig,
+                  params: DroneParams, init_xyzs, init_rpys,
+                  dtype=jnp.float32) -> EnvAdapter:
+    n_drones = rl_cfg.aviary.num_drones
+    reset_template = rlenv.rl_reset(rl_cfg, init_xyzs, init_rpys, dtype=dtype)
+    env_step = jax.vmap(
+        partial(rlenv.autoreset_step, rl_cfg, params, reset_template)
+    )
+
+    def batched_reset(key):
+        env_state = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (cfg.n_envs,) + x.shape),
+            reset_template,
+        )
+        obs = jax.vmap(partial(rlenv.compute_obs, rl_cfg))(env_state)
+        return env_state, obs.reshape(cfg.n_envs, -1)
+
+    def step(env_state, action, key):
+        act = action.reshape(-1, n_drones, rl_cfg.act_size)
+        env_state, obs, reward, term, trunc = env_step(env_state, act)
+        return (
+            env_state,
+            obs.reshape(obs.shape[0], -1),
+            reward,
+            term | trunc,
+        )
+
+    return EnvAdapter(
+        batched_reset=batched_reset,
+        step=step,
+        obs_dim=n_drones * rl_cfg.obs_size,
+        act_dim=n_drones * rl_cfg.act_size,
+    )
+
+
+def make_ppo(cfg: PPOConfig, rl_cfg: rlenv.RLConfig, params: DroneParams,
+             init_xyzs, init_rpys, dtype=jnp.float32, axis_name=None):
+    """Hover-task PPO (public API used by examples/learn.py and parallel/)."""
+    adapter = hover_adapter(cfg, rl_cfg, params, init_xyzs, init_rpys, dtype)
+    init_fn, train_step, eval_core = make_ppo_core(
+        cfg, adapter, dtype=dtype, axis_name=axis_name
+    )
+
+    def eval_rollout(params_, rng, n_steps: int):
+        return eval_core(params_, rng, n_steps)[:1]
+
+    return init_fn, train_step, eval_rollout
+
+
+def flatten_obs(cfg: rlenv.RLConfig, obs):
+    """(..., N, D) per-drone obs -> flat (..., N*D) vector."""
+    return obs.reshape(obs.shape[:-2] + (-1,))

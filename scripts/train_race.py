@@ -1,0 +1,107 @@
+"""Race-policy PPO training over vmapped race envs.
+
+The reference's race-RL pathway wrapped MultiRaceAviary with the reward/
+observation wrappers and fed SB3 one env at a time (its twogates.zip /
+example_RL_model.zip artifacts). Here the shaped race env (envs/race_rl.py)
+trains under the same PPO learner as the hover tasks, with thousands of
+randomized race instances per device.
+
+    python scripts/train_race.py --config configs/twogates.yaml \
+        --end_after_gate 2 --iters 200
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default="configs/twogates.yaml")
+    ap.add_argument("--n_envs", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--n_steps", type=int, default=64)
+    ap.add_argument("--end_after_gate", type=int, default=2,
+                    help="early termination after N gates (0 = full track)")
+    ap.add_argument("--out", default="results/race_policy.msgpack")
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from gym_pybullet_adrp_tpu.envs import race as race_mod
+    from gym_pybullet_adrp_tpu.envs import race_rl
+    from gym_pybullet_adrp_tpu.rl import checkpoint as ckpt
+    from gym_pybullet_adrp_tpu.rl.ppo import EnvAdapter, PPOConfig, make_ppo_core
+    from gym_pybullet_adrp_tpu.utils.config import load_config
+    from gym_pybullet_adrp_tpu.utils.enums import Physics, RaceMode
+
+    config = load_config(args.config)
+    spec = race_mod.RaceSpec.from_config(
+        config, num_drones=1, racemode=RaceMode.COMPARE, physics=Physics.PYB
+    )
+    track = race_mod.track_from_config(config, num_drones=1)
+    cfg = PPOConfig(n_envs=args.n_envs, n_steps=args.n_steps)
+    end_after = args.end_after_gate
+
+    reset1 = lambda key: race_rl.rl_race_reset(spec, track, key)
+
+    def batched_reset(key):
+        keys = jax.random.split(key, cfg.n_envs)
+        states = jax.vmap(reset1)(keys)
+        obs = jax.vmap(
+            lambda s: race_mod.compute_obs(spec, track, s.race)
+        )(states)
+        return states, obs.reshape(cfg.n_envs, -1)
+
+    step1 = lambda s, a, k: race_rl.autoreset_race_step(
+        spec, track, s, a, k, end_after_gate=end_after
+    )
+
+    def step(env_state, action, key):
+        keys = jax.random.split(key, cfg.n_envs)
+        act = action.reshape(cfg.n_envs, 1, 4)
+        env_state, obs, reward, term, trunc = jax.vmap(step1)(
+            env_state, act, keys
+        )
+        return env_state, obs.reshape(cfg.n_envs, -1), reward, term | trunc
+
+    adapter = EnvAdapter(
+        batched_reset=batched_reset,
+        step=step,
+        obs_dim=spec.obs_size,
+        act_dim=4,
+    )
+    init_fn, train_step, eval_fn = make_ppo_core(cfg, adapter)
+    ts = init_fn(jax.random.PRNGKey(0))
+    train = jax.jit(train_step)
+
+    t0 = time.time()
+    for it in range(args.iters):
+        ts, metrics = train(ts)
+        if it % 10 == 0 or it == args.iters - 1:
+            jax.block_until_ready(metrics["loss"])
+            print(
+                f"[{it:4d}] mean_ep_return "
+                f"{float(metrics['mean_episode_return']):8.3f}  "
+                f"mean_reward {float(metrics['mean_reward']):7.4f}  "
+                f"({(it + 1) * cfg.batch_size / (time.time() - t0):,.0f} steps/s)",
+                flush=True,
+            )
+
+    ckpt.save_policy(args.out, ts.params)
+    print("saved policy:", args.out)
+
+
+if __name__ == "__main__":
+    main()
