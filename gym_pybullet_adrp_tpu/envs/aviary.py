@@ -145,6 +145,69 @@ class JaxAviaryBase(gym.Env):
     def _getDroneStateVector(self, nth_drone: int) -> np.ndarray:
         return self._stateVector()[nth_drone]
 
+    # -- vision (reference BaseAviary._getDroneImages:569-621) ---------------
+    IMG_RES = np.array([64, 48])
+
+    def _scene(self):
+        """Renderable scene for this env: ground + all drones (+ landmark
+        pillars when obstacles are enabled, standing in for the reference's
+        RGB-mode landmark props, BaseRLAviary._addObstacles:106-126)."""
+        from gym_pybullet_adrp_tpu.ops import render as render_mod
+
+        sv = self._stateVector()
+        pos = jnp.asarray(sv[:, 0:3], dtype=self.dtype)
+        scene = render_mod.empty_scene(dtype=self.dtype)
+        scene = scene._replace(
+            sph_center=pos,
+            sph_radius=jnp.full((self.NUM_DRONES,), self.COLLISION_R, self.dtype),
+            sph_color=jnp.tile(
+                jnp.asarray([[0.3, 0.3, 0.3]], dtype=self.dtype),
+                (self.NUM_DRONES, 1),
+            ),
+            sph_valid=jnp.ones((self.NUM_DRONES,), dtype=bool),
+        )
+        if self.OBSTACLES:
+            lm = jnp.asarray(
+                [[1, 0, 0.1], [0, 1, 0.1], [-1, 0, 0.1], [0, -1, 0.1]],
+                dtype=self.dtype,
+            )
+            scene = scene._replace(
+                cap_center=lm,
+                cap_half=jnp.full((4,), 0.1, self.dtype),
+                cap_radius=jnp.full((4,), 0.05, self.dtype),
+                cap_color=jnp.asarray(
+                    [[0.8, 0.2, 0.2], [0.2, 0.8, 0.2], [0.9, 0.8, 0.1],
+                     [0.5, 0.3, 0.1]],
+                    dtype=self.dtype,
+                ),
+                cap_valid=jnp.ones((4,), dtype=bool),
+            )
+        return scene
+
+    def _getDroneImages(self, nth_drone: int, segmentation: bool = True):
+        """(rgb (H, W, 4), dep (H, W), seg (H, W)) from the n-th drone's POV
+        via the in-graph ray-casting renderer."""
+        from gym_pybullet_adrp_tpu.ops import render as render_mod
+
+        sv = self._stateVector()
+        pos = jnp.asarray(sv[nth_drone, 0:3], dtype=self.dtype)
+        q = jnp.asarray(sv[nth_drone, 3:7], dtype=self.dtype)
+        eye, target = render_mod.drone_camera(pos, q, self.L)
+        rgba, depth, seg = render_mod.render(
+            self._scene(), eye, target,
+            width=int(self.IMG_RES[0]), height=int(self.IMG_RES[1]),
+        )
+        return (
+            np.asarray(rgba).astype(np.uint8),
+            np.asarray(depth),
+            np.asarray(seg),
+        )
+
+    def _exportImage(self, img_type, img_input, path, frame_num: int = 0):
+        from gym_pybullet_adrp_tpu.utils.rendering import export_image
+
+        return export_image(img_type, img_input, path, frame_num)
+
 
 class CtrlAviary(JaxAviaryBase):
     """Direct-RPM control playground (reference envs/CtrlAviary.py)."""
@@ -297,11 +360,6 @@ class BaseRLAviary(JaxAviaryBase):
         act: ActionType = ActionType.RPM,
         dtype=jnp.float32,
     ):
-        if obs != ObservationType.KIN:
-            raise NotImplementedError(
-                "RGB observations need the host-side renderer; "
-                "see utils/rendering.py (KIN covers the reference's tested surface)"
-            )
         self.OBS_TYPE = obs
         self.ACT_TYPE = act
         self.rl_cfg = RLC = rl.RLConfig(
@@ -352,6 +410,14 @@ class BaseRLAviary(JaxAviaryBase):
         )
 
     def _observationSpace(self):
+        if self.OBS_TYPE == ObservationType.RGB:
+            # reference BaseRLAviary._observationSpace:252-255
+            return spaces.Box(
+                low=0, high=255,
+                shape=(self.NUM_DRONES, int(self.IMG_RES[1]),
+                       int(self.IMG_RES[0]), 4),
+                dtype=np.uint8,
+            )
         # reference BaseRLAviary._observationSpace:256-277
         lo = [-np.inf, -np.inf, 0.0] + [-np.inf] * 9
         hi = [np.inf] * 12
@@ -364,6 +430,22 @@ class BaseRLAviary(JaxAviaryBase):
             dtype=np.float32,
         )
 
+    def _rgbObs(self):
+        """(N, H, W, 4) float32 drone-POV images (reference
+        _computeObs:293-306), captured at IMG_FRAME_PER_SEC with caching."""
+        capture_freq = int(self.PYB_FREQ / 24)
+        if self._rgb_cache is None or self.step_counter % max(
+            capture_freq - capture_freq % self.PYB_STEPS_PER_CTRL,
+            self.PYB_STEPS_PER_CTRL,
+        ) == 0:
+            self._rgb_cache = np.stack(
+                [
+                    self._getDroneImages(i, segmentation=False)[0]
+                    for i in range(self.NUM_DRONES)
+                ]
+            ).astype("float32")
+        return self._rgb_cache
+
     def reset(self, seed: Optional[int] = None, options: Optional[dict] = None):
         super().reset(seed=seed)
         self._state = rl.rl_reset(
@@ -371,6 +453,9 @@ class BaseRLAviary(JaxAviaryBase):
         )
         self.step_counter = 0
         self.RESET_TIME = time.time()
+        self._rgb_cache = None
+        if self.OBS_TYPE == ObservationType.RGB:
+            return self._rgbObs(), self._computeInfo()
         obs = np.asarray(rl.compute_obs(self.rl_cfg, self._state))
         return obs.astype(np.float32), self._computeInfo()
 
@@ -383,8 +468,12 @@ class BaseRLAviary(JaxAviaryBase):
             self._state, action
         )
         self.step_counter += self.PYB_STEPS_PER_CTRL
+        if self.OBS_TYPE == ObservationType.RGB:
+            obs_out = self._rgbObs()
+        else:
+            obs_out = np.asarray(obs).astype(np.float32)
         return (
-            np.asarray(obs).astype(np.float32),
+            obs_out,
             float(reward),
             bool(terminated),
             bool(truncated),
