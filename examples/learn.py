@@ -82,6 +82,12 @@ def run(
         target_reward = 467.0 if not multiagent else 920.0
 
     cfg = PPOConfig(n_envs=n_envs, n_steps=64, n_minibatches=8)
+    if local:
+        # linear LR decay over the full budget stabilizes the late phase
+        cfg = PPOConfig(
+            n_envs=n_envs, n_steps=64, n_minibatches=8,
+            total_updates=cfg.updates_for_iters(max_iters),
+        )
     init_fn, train_step, eval_fn = make_ppo(
         cfg, rl_cfg, params, init_xyzs, init_rpys
     )

@@ -68,11 +68,7 @@ class CFAviary(JaxAviaryBase):
             raise NotImplementedError(
                 "Multi-agent support for CF Aviary is not yet implemented."
             )
-        if self.CONTROLLER != "mellinger":
-            raise NotImplementedError(
-                "firmware PID controller pathway not yet ported; "
-                "use the Mellinger controller"
-            )
+        assert self.CONTROLLER in ("mellinger", "pid")
         # the base env steps at the firmware rate (reference :92)
         super().__init__(
             drone_model=drone_model,
@@ -103,14 +99,20 @@ class CFAviary(JaxAviaryBase):
 
         cfg, params = self.cfg, self.params
         n_ticks = self._ticks_per_step
+        use_pid = self.CONTROLLER == "pid"
+
+        from gym_pybullet_adrp_tpu.control import firmware_pid as fp
 
         @jax.jit
-        def _window(cstate, mstate, cmdr, action):
+        def _window(cstate, mstate, pid_state, cmdr, action):
             """Run one ctrl-freq window of firmware ticks
-            (reference step:201-259)."""
+            (reference step:201-259). ``mstate`` carries the sensor/tick
+            bookkeeping for both controllers; ``pid_state`` holds the
+            controllerPid statics (unused on the Mellinger path).
+            """
 
             def tick(carry, _):
-                cst, ms, cs, act = carry
+                cst, ms, ps, cs, act = carry
                 # physics first, with the action from the previous tick
                 cst = core.core_step(cfg, params, cst, act)
                 tick_time = ms.tick.astype(act.dtype) / firmware_freq
@@ -118,7 +120,30 @@ class CFAviary(JaxAviaryBase):
                 ms, fw, gyro_deg, acc_gs = mel.update_sensor_and_state(
                     ms, cst.phys.pos, cst.phys.rpy, cst.phys.vel
                 )
-                ms, pwms = mel.step_controller(ms, cs.setpoint, fw, gyro_deg, acc_gs)
+                if use_pid:
+                    # controllerPid path (reference CFAviary:401-408):
+                    # 100 Hz position / 500 Hz attitude wrapper gating
+                    att_due = tick_time - ms.last_att_pid_call > 0.002
+                    pos_due = att_due & (
+                        tick_time - ms.last_pos_pid_call > 0.01
+                    )
+                    ps, control = fp.controller_pid(
+                        ps, cs.setpoint, gyro_deg, fw, pos_due, att_due
+                    )
+                    pwms = mel.compute_pwms(control)
+                    ms = ms._replace(
+                        tick=ms.tick + 1,
+                        last_att_pid_call=jnp.where(
+                            att_due, tick_time, ms.last_att_pid_call
+                        ),
+                        last_pos_pid_call=jnp.where(
+                            pos_due, tick_time, ms.last_pos_pid_call
+                        ),
+                    )
+                else:
+                    ms, pwms = mel.step_controller(
+                        ms, cs.setpoint, fw, gyro_deg, acc_gs
+                    )
                 # pwm -> rpm (reference :244) with the [3,2,1,0] motor-order
                 # compensation for the IROS URDF. NOTE(fixed reference
                 # defect): the reference applies this reorder only in the
@@ -131,12 +156,16 @@ class CFAviary(JaxAviaryBase):
                     + PWM2RPM_CONST
                 )[..., ::-1]
                 rpm = jnp.where(ms.error_flag[..., None], jnp.zeros_like(rpm), rpm)
-                return (cst, ms, cs, rpm), None
+                return (cst, ms, ps, cs, rpm), None
 
-            (cstate, mstate, cmdr, action), _ = jax.lax.scan(
-                tick, (cstate, mstate, cmdr, action), None, length=n_ticks
+            (cstate, mstate, pid_state, cmdr, action), _ = jax.lax.scan(
+                tick, (cstate, mstate, pid_state, cmdr, action), None,
+                length=n_ticks,
             )
-            return cstate, mstate, cmdr, action, core.state_vector(cstate)
+            return (
+                cstate, mstate, pid_state, cmdr, action,
+                core.state_vector(cstate),
+            )
 
         self._jit_window = _window
         self._state = None
@@ -161,6 +190,9 @@ class CFAviary(JaxAviaryBase):
             prev_rpy=jnp.asarray(self.INIT_RPYS, dtype=self.dtype),
             prev_vel=jnp.zeros((1, 3), dtype=self.dtype),
         )
+        from gym_pybullet_adrp_tpu.control import firmware_pid as fp
+
+        self._pid = fp.init_state((1,), dtype=self.dtype)
         self._cmdr = cmdr_mod.init_state((1,), dtype=self.dtype)
         self._action = jnp.zeros((1, 4), dtype=self.dtype)
         self.step_counter = 0
@@ -177,8 +209,10 @@ class CFAviary(JaxAviaryBase):
         t = i / self.ctrl_freq
         self._process_command_queue(t)
         (
-            self._state, self._mell, self._cmdr, self._action, obs
-        ) = self._jit_window(self._state, self._mell, self._cmdr, self._action)
+            self._state, self._mell, self._pid, self._cmdr, self._action, obs
+        ) = self._jit_window(
+            self._state, self._mell, self._pid, self._cmdr, self._action
+        )
         self.tick = int(self._mell.tick[0])
         self.step_counter = int(self._state.step_counter)
         if self.takeoff_sent:
@@ -264,3 +298,10 @@ class CFAviary(JaxAviaryBase):
 
     def _stateVector(self):
         return np.asarray(core.state_vector(self._state))
+
+
+class CFPIDAviary(CFAviary):
+    """CFAviary flying the 1 kHz firmware PID controller
+    (reference CFAviary.CONTROLLER = 'pid' variant, :21, :80, :157-159)."""
+
+    CONTROLLER = "pid"

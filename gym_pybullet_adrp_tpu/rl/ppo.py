@@ -45,10 +45,16 @@ class PPOConfig:
     ent_coef: float = 0.0
     vf_coef: float = 0.5
     max_grad_norm: float = 0.5
+    # optional linear LR decay to 0 over this many optimizer updates
+    # (len(iterations) * n_epochs * n_minibatches); None = constant LR
+    total_updates: int = None
 
     @property
     def batch_size(self):
         return self.n_envs * self.n_steps
+
+    def updates_for_iters(self, n_iters: int) -> int:
+        return n_iters * self.n_epochs * self.n_minibatches
 
 
 class EnvAdapter(NamedTuple):
@@ -94,9 +100,16 @@ def make_ppo_core(cfg: PPOConfig, adapter: EnvAdapter, dtype=jnp.float32,
     over the mesh axis.
     """
     network = ActorCritic(act_dim=adapter.act_dim)
+    if cfg.total_updates is not None:
+        lr = optax.linear_schedule(
+            init_value=cfg.lr, end_value=0.0,
+            transition_steps=cfg.total_updates,
+        )
+    else:
+        lr = cfg.lr
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adam(cfg.lr, eps=1e-5),
+        optax.adam(lr, eps=1e-5),
     )
 
     def init_fn(rng):
