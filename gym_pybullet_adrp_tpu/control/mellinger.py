@@ -31,7 +31,7 @@ from gym_pybullet_adrp_tpu.ops import quat as quat_ops
 from gym_pybullet_adrp_tpu.utils.constants import (
     ACCEL_LPF_CUTOFF_FREQ, FIRMWARE_DT, FIRMWARE_FREQ, GYRO_LPF_CUTOFF_FREQ,
     MAX_PWM, MIN_PWM, PWM2RPM_CONST, PWM2RPM_SCALE, RAD_TO_DEG, DEG_TO_RAD,
-    SUPPLY_VOLTAGE,
+    SENSOR_DELAY, SUPPLY_VOLTAGE,
 )
 
 # ---------------------------------------------------------------------------
@@ -165,9 +165,14 @@ class MellingerState(NamedTuple):
     prev_vel: jnp.ndarray         # (..., 3)
     acc_lpf: Lpf2pState           # (..., 3) channels
     gyro_lpf: Lpf2pState          # (..., 3)
+    # hardware-latency emulation ring buffer (reference SENSOR_DELAY ring,
+    # MellingerControl.py:109, 228-233): (..., SENSOR_DELAY, 6) of
+    # [acc_body (3), gyro deg/s (3)], oldest first; length 0 when disabled
+    sensor_history: jnp.ndarray
 
 
-def init_state(shape=(), dtype=jnp.float32) -> MellingerState:
+def init_state(shape=(), dtype=jnp.float32,
+               sensor_delay: int = SENSOR_DELAY) -> MellingerState:
     z = lambda *d: jnp.zeros(shape + d, dtype=dtype)
     zi = jnp.zeros(shape, dtype=jnp.int32)
     return MellingerState(
@@ -185,6 +190,7 @@ def init_state(shape=(), dtype=jnp.float32) -> MellingerState:
         prev_vel=z(3),
         acc_lpf=Lpf2pState(d1=z(3), d2=z(3)),
         gyro_lpf=Lpf2pState(d1=z(3), d2=z(3)),
+        sensor_history=z(sensor_delay, 6),
     )
 
 
@@ -440,10 +446,25 @@ def update_sensor_and_state(state: MellingerState, cur_pos, cur_rpy, cur_vel):
     # body_rot = inv(R(rpy)); firmware feeds body-frame acc to the LPF
     q = quat_ops.from_euler_intrinsic_xyz(cur_rpy)
     acc_body = quat_ops.rotate_inv(q, cur_acc)
+    gyro_deg_raw = cur_rotation_rates * RAD_TO_DEG
+
+    # SENSOR_DELAY ring: feed the oldest sample to the filters, append the
+    # freshest (reference computeControl:228-233); statically elided at 0
+    n_hist = state.sensor_history.shape[-2]
+    if n_hist > 0:
+        delayed = state.sensor_history[..., 0, :]
+        newest = jnp.concatenate([acc_body, gyro_deg_raw], axis=-1)
+        sensor_history = jnp.concatenate(
+            [state.sensor_history[..., 1:, :], newest[..., None, :]], axis=-2
+        )
+        acc_body = delayed[..., 0:3]
+        gyro_deg_raw = delayed[..., 3:6]
+    else:
+        sensor_history = state.sensor_history
 
     acc_lpf, acc_f = lpf2p_apply(_ACC_LPF_COEFFS, state.acc_lpf, acc_body)
     gyro_lpf, gyro_f = lpf2p_apply(
-        _GYRO_LPF_COEFFS, state.gyro_lpf, cur_rotation_rates * RAD_TO_DEG
+        _GYRO_LPF_COEFFS, state.gyro_lpf, gyro_deg_raw
     )
 
     rpy_deg = cur_rpy * RAD_TO_DEG
@@ -460,6 +481,7 @@ def update_sensor_and_state(state: MellingerState, cur_pos, cur_rpy, cur_vel):
         prev_vel=cur_vel,
         acc_lpf=acc_lpf,
         gyro_lpf=gyro_lpf,
+        sensor_history=sensor_history,
     )
     return new_state, fw, gyro_f, acc_f
 

@@ -31,7 +31,7 @@ from gym_pybullet_adrp_tpu.envs import core
 from gym_pybullet_adrp_tpu.envs.aviary import JaxAviaryBase
 from gym_pybullet_adrp_tpu.envs.core import AviaryConfig
 from gym_pybullet_adrp_tpu.utils.constants import (
-    MAX_PWM, MIN_PWM, PWM2RPM_CONST, PWM2RPM_SCALE,
+    ACTION_DELAY, MAX_PWM, MIN_PWM, PWM2RPM_CONST, PWM2RPM_SCALE,
 )
 from gym_pybullet_adrp_tpu.utils.enums import Command, DroneModel, Physics
 
@@ -112,10 +112,11 @@ class CFAviary(JaxAviaryBase):
             """
 
             def tick(carry, _):
-                cst, ms, ps, cs, act = carry
-                # physics first, with the action from the previous tick
-                cst = core.core_step(cfg, params, cst, act)
-                tick_time = ms.tick.astype(act.dtype) / firmware_freq
+                cst, ms, ps, cs, act_buf = carry
+                # physics first, with the (possibly delayed) queued action
+                # (reference ACTION_DELAY ring, CFAviary:246-251)
+                cst = core.core_step(cfg, params, cst, act_buf[0])
+                tick_time = ms.tick.astype(act_buf.dtype) / firmware_freq
                 cs = cmdr_mod.update_setpoint(cs, tick_time)
                 ms, fw, gyro_deg, acc_gs = mel.update_sensor_and_state(
                     ms, cst.phys.pos, cst.phys.rpy, cst.phys.vel
@@ -156,7 +157,8 @@ class CFAviary(JaxAviaryBase):
                     + PWM2RPM_CONST
                 )[..., ::-1]
                 rpm = jnp.where(ms.error_flag[..., None], jnp.zeros_like(rpm), rpm)
-                return (cst, ms, ps, cs, rpm), None
+                act_buf = jnp.concatenate([act_buf[1:], rpm[None]], axis=0)
+                return (cst, ms, ps, cs, act_buf), None
 
             (cstate, mstate, pid_state, cmdr, action), _ = jax.lax.scan(
                 tick, (cstate, mstate, pid_state, cmdr, action), None,
@@ -194,7 +196,8 @@ class CFAviary(JaxAviaryBase):
 
         self._pid = fp.init_state((1,), dtype=self.dtype)
         self._cmdr = cmdr_mod.init_state((1,), dtype=self.dtype)
-        self._action = jnp.zeros((1, 4), dtype=self.dtype)
+        # slot 0 applies next tick; extra slots emulate actuation latency
+        self._action = jnp.zeros((ACTION_DELAY + 1, 1, 4), dtype=self.dtype)
         self.step_counter = 0
         self.RESET_TIME = time.time()
         obs = np.asarray(core.state_vector(self._state))
