@@ -21,6 +21,9 @@ def main():
     ap.add_argument("--platform", type=str, default=None,
                     help="force jax platform (e.g. cpu); default: real chip")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--impl", choices=["xla", "pallas"], default="pallas",
+                    help="pallas: fused VMEM-resident physics kernel "
+                         "(envs/fast_hover.py); xla: reference-faithful path")
     args = ap.parse_args()
 
     import jax
@@ -47,11 +50,37 @@ def main():
     init_xyzs = np.array([[0.0, 0.0, 0.1125]])
     init_rpys = np.zeros((1, 3))
 
-    mesh = make_mesh(1)
-    fn = rollout_throughput_fn(
-        mesh, rl_cfg, params, init_xyzs, init_rpys,
-        n_envs_per_device=args.envs, n_steps=args.steps,
-    )
+    if args.impl == "pallas":
+        from gym_pybullet_adrp_tpu.envs import fast_hover
+
+        step = fast_hover.make_step(params, args.envs)
+        state0 = fast_hover.reset_packed(
+            np.array([0.0, 0.0, 0.1125]), args.envs
+        )
+        T = args.envs // fast_hover.LANE
+
+        @jax.jit
+        def fn(key):
+            def body(carry, _):
+                st, k, acc = carry
+                k, ka = jax.random.split(k)
+                action = jax.random.uniform(
+                    ka, (4, T, fast_hover.LANE), minval=-0.05, maxval=0.05
+                )
+                st, (obs, reward, done) = step(st, action)
+                return (st, k, acc + jnp.sum(reward)), None
+
+            (st, _, acc), _ = jax.lax.scan(
+                body, (state0, key[0], jnp.zeros(())), None,
+                length=args.steps,
+            )
+            return acc[None]
+    else:
+        mesh = make_mesh(1)
+        fn = rollout_throughput_fn(
+            mesh, rl_cfg, params, init_xyzs, init_rpys,
+            n_envs_per_device=args.envs, n_steps=args.steps,
+        )
     key = jax.random.PRNGKey(0)[None]
 
     # compile + warmup
