@@ -53,7 +53,9 @@ def main():
     if args.impl == "pallas":
         from gym_pybullet_adrp_tpu.envs import fast_hover
 
-        step = fast_hover.make_step(params, args.envs)
+        # pallas compiles for TPU; CPU runs use the interpreter
+        interpret = jax.devices()[0].platform == "cpu"
+        step = fast_hover.make_step(params, args.envs, interpret=interpret)
         state0 = fast_hover.reset_packed(
             np.array([0.0, 0.0, 0.1125]), args.envs
         )

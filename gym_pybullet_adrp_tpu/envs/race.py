@@ -179,18 +179,28 @@ def track_from_config(config, num_drones: int, dtype=jnp.float32) -> RaceTrack:
     """Mirror of MultiRaceAviary.__init__'s config parsing (reference
     :82-95: rpy given in degrees)."""
     drones = list(config.init_states)
-    pos = np.array(
-        [config.init_states[d].pos for d in drones][:num_drones], dtype=float
-    )
-    rpy = np.array(
-        [config.init_states[d].rpy for d in drones][:num_drones], dtype=float
-    ) * DEG_TO_RAD
-    vel = np.array(
-        [config.init_states[d].vel for d in drones][:num_drones], dtype=float
-    )
-    pqr = np.array(
-        [config.init_states[d].pqr for d in drones][:num_drones], dtype=float
-    )
+
+    def rows(field, scale=1.0):
+        vals = [
+            np.asarray(config.init_states[d][field], dtype=float)
+            for d in drones
+        ]
+        # NOTE(capability extension): configs ship 2 drone entries; racing
+        # more drones (e.g. the 4-drone level3 COMPETE benchmark config)
+        # spawns extras in a grid offset from the last entry (the reference
+        # errors out in BaseAviary.__init__ in this case)
+        while len(vals) < num_drones:
+            k = len(vals) - len(drones) + 1
+            extra = vals[len(drones) - 1].copy()
+            if field == "pos":
+                extra = extra + np.array([0.2 * k, -0.2 * k, 0.0])
+            vals.append(extra)
+        return np.array(vals[:num_drones], dtype=float) * scale
+
+    pos = rows("pos")
+    rpy = rows("rpy", DEG_TO_RAD)
+    vel = rows("vel")
+    pqr = rows("pqr")
     return RaceTrack(
         gates_nominal=jnp.asarray(np.array(config.gates, dtype=float), dtype=dtype),
         obstacles_nominal=jnp.asarray(
