@@ -180,22 +180,34 @@ class CTBRControl(BaseControl):
 class MellingerControl(BaseControl):
     """Stateful Mellinger wrapper mirroring the subprocess controller's
     surface (reference control/MellingerControl.py:64-262) — in-process,
-    no pipes, no per-process firmware copies."""
+    no pipes, no per-process firmware copies. Commands queue like the
+    reference's ``sendXxxCmd`` and execute on ``process_command_queue``
+    using the last kinematics seen by ``computeControl``/``reset``.
+    """
 
     def __init__(self, drone_id: int, drone_model: DroneModel, g: float = 9.8):
-        super().__init__(drone_model, g)
-        self.drone_id = drone_id
         from gym_pybullet_adrp_tpu.control import commander as cmdr_mod
+        from gym_pybullet_adrp_tpu.utils.enums import Command
 
+        # set before super().__init__, which calls reset()
         self._cmdr_mod = cmdr_mod
-        self.reset()
+        self._Command = Command
+        self.drone_id = drone_id
+        super().__init__(drone_model, g)
 
     def reset(self, init_obs=None):
         super().reset()
         self.mell = mel.init_state(())
         self.cmdr = self._cmdr_mod.init_state(())
+        self.command_queue = []
+        self._last_pos = np.zeros(3)
+        self._last_vel = np.zeros(3)
+        self._last_yaw = 0.0
         if init_obs is not None:
             drone = np.asarray(init_obs)[self.drone_id, :12]
+            self._last_pos = drone[0:3]
+            self._last_vel = drone[6:9]
+            self._last_yaw = float(drone[5])
             self.mell = self.mell._replace(
                 prev_rpy=jnp.asarray(drone[3:6], dtype=jnp.float32),
                 prev_vel=jnp.asarray(drone[6:9], dtype=jnp.float32),
@@ -206,6 +218,9 @@ class MellingerControl(BaseControl):
                        target_vel=np.zeros(3), target_rpy_rates=np.zeros(3)):
         """One 500 Hz tick; `target_pos` smuggles the thrust disturbance,
         as in the reference (MellingerControl.py:202-203)."""
+        self._last_pos = np.asarray(cur_pos, dtype=float)
+        self._last_vel = np.asarray(cur_vel, dtype=float)
+        self._last_yaw = float(np.asarray(cur_rpy)[2])
         disturbance = jnp.asarray(target_pos, dtype=jnp.float32)
         tick_time = float(self.mell.tick) / 500.0
         self.cmdr = self._cmdr_mod.update_setpoint(self.cmdr, tick_time)
@@ -220,18 +235,62 @@ class MellingerControl(BaseControl):
         )
         return np.asarray(rpm)
 
-    def _send(self, cmd, args, sim_time):
+    # -- command surface (reference :491-699) --------------------------------
+    def sendFullStateCmd(self, pos, vel, acc, yaw, rpy_rate, timestep):
+        self.command_queue.append(
+            (self._Command.FULLSTATE, (pos, vel, acc, yaw, rpy_rate, timestep))
+        )
+
+    def sendTakeoffCmd(self, height, duration):
+        self.command_queue.append((self._Command.TAKEOFF, (height, duration)))
+
+    def sendTakeoffYawCmd(self, height, duration, yaw):
+        self.command_queue.append(
+            (self._Command.TAKEOFFYAW, (height, duration, yaw))
+        )
+
+    def sendTakeoffVelCmd(self, height, vel, relative):
+        self.command_queue.append(
+            (self._Command.TAKEOFFVEL, (height, vel, relative))
+        )
+
+    def sendLandCmd(self, height, duration):
+        self.command_queue.append((self._Command.LAND, (height, duration)))
+
+    def sendLandYawCmd(self, height, duration, yaw):
+        self.command_queue.append(
+            (self._Command.LANDYAW, (height, duration, yaw))
+        )
+
+    def sendLandVelCmd(self, height, vel, relative):
+        self.command_queue.append(
+            (self._Command.LANDVEL, (height, vel, relative))
+        )
+
+    def sendGotoCmd(self, pos, yaw, duration_s, relative):
+        self.command_queue.append(
+            (self._Command.GOTO, (pos, yaw, duration_s, relative))
+        )
+
+    def sendStopCmd(self):
+        self.command_queue.append((self._Command.STOP, ()))
+
+    def notifySetpointStop(self):
+        self.command_queue.append((self._Command.NOTIFY, ()))
+
+    def process_command_queue(self, sim_time):
+        """Pop and execute the next queued command
+        (reference process_command_queue:292-303)."""
+        if not self.command_queue:
+            return
+        cmd, args = self.command_queue.pop(0)
         cid, vec = self._cmdr_mod.pack_command(cmd, args)
-        st = self.mell
         self.cmdr = self._cmdr_mod.process_command(
             self.cmdr,
             jnp.asarray(cid, dtype=jnp.int32),
             jnp.asarray(vec, dtype=jnp.float32),
-            jnp.asarray(sim_time, dtype=jnp.float32),
-            st.prev_rpy * 0.0,  # position unknown here; env-level API is preferred
-            st.prev_vel,
-            st.prev_rpy[..., 2],
+            jnp.asarray(float(sim_time), dtype=jnp.float32),
+            jnp.asarray(self._last_pos, dtype=jnp.float32),
+            jnp.asarray(self._last_vel, dtype=jnp.float32),
+            jnp.asarray(self._last_yaw, dtype=jnp.float32),
         )
-
-    def process_command_queue(self, sim_time):
-        """Kept for protocol parity; commands execute immediately in _send."""

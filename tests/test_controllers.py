@@ -206,3 +206,31 @@ def test_commander_stop_zeroes_thrust_mode():
     )
     assert int(cs.setpoint.mode_xyz[0, 2]) == mel.MODE_DISABLE
     assert float(cs.setpoint.thrust[0]) == 0.0
+
+
+def test_oo_mellinger_wrapper_flies():
+    """Object-style MellingerControl (control/api.py) closed loop with
+    CtrlAviary at 500 Hz: queued TAKEOFF command -> climbs to height."""
+    from gym_pybullet_adrp_tpu.control import MellingerControl
+    from gym_pybullet_adrp_tpu.envs import CtrlAviary
+
+    env = CtrlAviary(
+        num_drones=1, pyb_freq=500, ctrl_freq=500,
+        initial_xyzs=np.array([[0, 0, 0.1]]),
+    )
+    obs, _ = env.reset()
+    ctrl = MellingerControl(0, DroneModel.CF2X)
+    init_obs = np.hstack(
+        [obs[0][:3], obs[0][7:10], obs[0][10:13], obs[0][13:16]]
+    )[None]
+    ctrl.reset(init_obs)
+    ctrl.sendTakeoffCmd(0.5, 2.0)
+    ctrl.process_command_queue(0.0)
+    action = np.zeros((1, 4))
+    for _ in range(1500):
+        obs, *_ = env.step(action)
+        action[0] = ctrl.computeControl(
+            1 / 500, obs[0][:3], obs[0][7:10], obs[0][10:13],
+            obs[0][13:16], np.zeros(4),
+        )
+    assert 0.35 < obs[0][2] < 0.7
