@@ -30,7 +30,9 @@ class RLController(BaseController):
 
         from gym_pybullet_adrp_tpu.models.policy import ActorCritic
 
-        path = Path(model_path or Path(__file__).parent / "example_rl_model.msgpack")
+        path = Path(
+            model_path or Path(__file__).parent / "example_race_policy.msgpack"
+        )
         if not path.exists():
             raise FileNotFoundError(
                 f"no trained model at {path}; train one with examples/learn.py"
@@ -47,14 +49,19 @@ class RLController(BaseController):
 
     def predict(self, obs, reward=None, done=None, info=None, ep_time=None):
         """Deterministic policy action -> FULLSTATE command
-        (reference predict:39-73)."""
+        (reference predict:39-73: yaw action zeroed, scaled offset added to
+        the current [x, y, z, yaw] pose)."""
+        from gym_pybullet_adrp_tpu.utils.utils import map2pi
+
         mean, _, _ = self._apply(self.params, self._jnp.asarray(obs)[None])
-        action = np.clip(np.asarray(mean)[0], -1.0, 1.0) * ACTION_SCALE
-        target_pos = obs[:3] + action[:3]
-        target_yaw = action[3]
+        action = np.clip(np.asarray(mean)[0], -1.0, 1.0)
+        action[3] = 0.0
+        pose = np.asarray([obs[0], obs[1], obs[2], obs[5]])
+        target = pose + action * ACTION_SCALE
+        target[3] = map2pi(target[3])
         return Command.FULLSTATE, [
-            target_pos, np.zeros(3), np.zeros(3), target_yaw, np.zeros(3),
-            ep_time,
+            target[:3], np.zeros(3), np.zeros(3), float(target[3]),
+            np.zeros(3), ep_time,
         ]
 
 

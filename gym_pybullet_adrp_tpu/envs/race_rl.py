@@ -85,17 +85,21 @@ def rl_race_step(spec: RaceSpec, track: RaceTrack, state: RaceRLState,
                  action, end_after_gate: int = 0):
     """One shaped training step.
 
-    action: (N, 4) in [-1, 1]; scaled to [1,1,1,pi] and sent as FULLSTATE
-    target positions. ``end_after_gate > 0`` reproduces
+    action: (N, 4) in [-1, 1]; transformed exactly like the reference's
+    RLController (user_controller/RLController.py:60-73): yaw action zeroed,
+    scaled by [1,1,1,pi], added to the drone's current [x,y,z,yaw] pose, and
+    sent as a FULLSTATE target. ``end_after_gate > 0`` reproduces
     DroneObservationWrapper's early termination after that many gates
-    (reference wrapper.py:61-63, used with 2 for twogates training) and its
-    yaw-zeroing (:52-58).
+    (reference wrapper.py:61-63, used with 2 for twogates training).
 
     Returns (state, obs, reward, terminated, truncated).
     """
     action = action * ACTION_SCALE.astype(action.dtype)
-    if end_after_gate:
-        action = action.at[:, 3].set(0.0)  # zero yaw actions
+    action = action.at[:, 3].set(0.0)  # yaw zeroed (reference :64)
+    pose = jnp.concatenate(
+        [state.race.phys.pos, state.race.phys.rpy[:, 2:3]], axis=-1
+    )
+    action = pose + action
     cmd_ids, args = race_mod.actions_to_commands(
         spec, action, state.race.step_counter.astype(action.dtype)
     )
