@@ -563,7 +563,10 @@ def actions_to_commands(spec: RaceSpec, actions, step_counter):
 # Gymnasium class layer
 
 
-class MultiRaceAviary:
+import gymnasium as _gym
+
+
+class MultiRaceAviary(_gym.Env):
     """Gymnasium-API shell over the functional race env (reference
     envs/MultiRaceAviary.py). Command tuples are packed host-side; the whole
     step (commands -> 20 firmware ticks -> progress/termination) is one
