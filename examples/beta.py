@@ -40,6 +40,7 @@ def run(
     duration_sec=DEFAULT_DURATION_SEC,
     output_folder=DEFAULT_OUTPUT_FOLDER,
     colab=False,
+    traj_csv=None,
 ):
     INIT_XYZS = np.array([[0.0, 0.0, 0.1]] * num_drones)
     env = BetaAviary(
@@ -59,13 +60,23 @@ def run(
         colab=colab,
     )
 
-    # circle trajectory (stand-in for assets/beta-traj.csv)
+    # trajectory: CSV (t, x, y, z — parity with assets/beta-traj.csv) or a
+    # default circle
     NUM_STEPS = control_freq_hz * duration_sec
-    t_traj = np.linspace(0, 2 * np.pi, NUM_STEPS)
-    TARGET = np.stack(
-        [0.5 * np.cos(t_traj) - 0.5, 0.5 * np.sin(t_traj), 1.0 + 0 * t_traj],
-        axis=-1,
-    )
+    if traj_csv:
+        raw = np.loadtxt(traj_csv, delimiter=",", skiprows=1)
+        t_q = np.arange(NUM_STEPS) / control_freq_hz
+        TARGET = np.stack(
+            [np.interp(t_q, raw[:, 0], raw[:, 1 + k]) for k in range(3)],
+            axis=-1,
+        )
+    else:
+        t_traj = np.linspace(0, 2 * np.pi, NUM_STEPS)
+        TARGET = np.stack(
+            [0.5 * np.cos(t_traj) - 0.5, 0.5 * np.sin(t_traj),
+             1.0 + 0 * t_traj],
+            axis=-1,
+        )
 
     obs, info = env.reset()
     action = np.zeros((num_drones, 4))
@@ -97,5 +108,8 @@ if __name__ == "__main__":
     parser.add_argument("--gui", default=DEFAULT_GUI, type=str2bool)
     parser.add_argument("--plot", default=DEFAULT_PLOT, type=str2bool)
     parser.add_argument("--output_folder", default=DEFAULT_OUTPUT_FOLDER, type=str)
+    parser.add_argument("--traj", default=None, type=str,
+                        help="trajectory CSV (t,x,y,z), e.g. configs/beta_traj.csv")
     ARGS = parser.parse_args()
-    run(gui=ARGS.gui, plot=ARGS.plot, output_folder=ARGS.output_folder)
+    run(gui=ARGS.gui, plot=ARGS.plot, output_folder=ARGS.output_folder,
+        traj_csv=ARGS.traj)
