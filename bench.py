@@ -17,13 +17,20 @@ import time
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=4096)
-    ap.add_argument("--steps", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=None,
+                    help="rollout length (default 3840 for pallas-rollout, "
+                         "256 otherwise)")
     ap.add_argument("--platform", type=str, default=None,
                     help="force jax platform (e.g. cpu); default: real chip")
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--impl", choices=["xla", "pallas"], default="pallas",
-                    help="pallas: fused VMEM-resident physics kernel "
-                         "(envs/fast_hover.py); xla: reference-faithful path")
+    ap.add_argument(
+        "--impl", choices=["xla", "pallas", "pallas-rollout"],
+        default="pallas-rollout",
+        help="pallas-rollout: whole 64-step rollout chunks fused in one "
+             "kernel launch (in-kernel PRNG actions + episode logic); "
+             "pallas: fused physics kernel per control step; "
+             "xla: reference-faithful path",
+    )
     args = ap.parse_args()
 
     import jax
@@ -50,7 +57,36 @@ def main():
     init_xyzs = np.array([[0.0, 0.0, 0.1125]])
     init_rpys = np.zeros((1, 3))
 
-    if args.impl == "pallas":
+    if args.steps is None:
+        args.steps = 3840 if args.impl == "pallas-rollout" else 256
+
+    if args.impl == "pallas-rollout":
+        from gym_pybullet_adrp_tpu.envs import fast_hover
+        from gym_pybullet_adrp_tpu.ops import pallas_step
+
+        chunk = 64
+        n_chunks = max(args.steps // chunk, 1)
+        args.steps = chunk * n_chunks
+        state0 = fast_hover.reset_packed(
+            np.array([0.0, 0.0, 0.1125]), args.envs
+        )
+
+        @jax.jit
+        def fn(key):
+            seed = key[0, 0].astype(jnp.int32)
+
+            def body(carry, i):
+                p, total = carry
+                p, acc = pallas_step.hover_rollout(
+                    params, p, seed + i, n_steps=chunk
+                )
+                return (p, total + jnp.sum(acc)), None
+
+            (p, total), _ = jax.lax.scan(
+                body, (state0.packed, jnp.zeros(())), jnp.arange(n_chunks)
+            )
+            return total[None]
+    elif args.impl == "pallas":
         from gym_pybullet_adrp_tpu.envs import fast_hover
 
         # pallas compiles for TPU; CPU runs use the interpreter

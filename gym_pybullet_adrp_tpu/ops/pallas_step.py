@@ -311,8 +311,12 @@ def _rollout_kernel(seed_ref, state_ref, out_ref, acc_ref, *, n_steps,
             | roll_out | pitch_out
             | (steps > max_ep_steps)
         )
-        reset = jnp.zeros_like(st)
-        reset = reset.at[2].set(init_z).at[6].set(1.0)
+        # reset template without scatter (unsupported in Mosaic):
+        # channel 2 (z) = init_z, channel 6 (qw) = 1, rest 0
+        chan = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+        reset = jnp.where(
+            chan == 2, init_z, jnp.where(chan == 6, 1.0, 0.0)
+        ).astype(st.dtype)
         st = jnp.where(done[None], reset, st)
         steps = jnp.where(done, 0, steps)
         return st, steps, acc + reward
