@@ -594,7 +594,11 @@ class MultiRaceAviary(_gym.Env):
             from gym_pybullet_adrp_tpu.utils.config import load_config
 
             race_config = load_config(race_config)
+        from gym_pybullet_adrp_tpu.utils.enums import ObservationType
+
         self.config = race_config
+        self.observation_type = obs or ObservationType.KIN
+        self.IMG_RES = np.array([64, 48])
         self.spec_ = RaceSpec.from_config(
             race_config, num_drones, racemode, physics
         )
@@ -645,6 +649,15 @@ class MultiRaceAviary(_gym.Env):
     def _observationSpace(self):
         from gymnasium import spaces
 
+        from gym_pybullet_adrp_tpu.utils.enums import ObservationType
+
+        if self.observation_type == ObservationType.RGB:
+            # reference _observationSpace:300-304 (latent RGB branch)
+            return spaces.Box(
+                low=0, high=255, dtype=np.uint8,
+                shape=(self.NUM_DRONES, int(self.IMG_RES[1]),
+                       int(self.IMG_RES[0]), 4),
+            )
         G, O = self.spec_.num_gates, self.spec_.num_obstacles
         lo = np.concatenate([
             [-5] * 3, [-np.pi] * 3, [-10] * 3, [-10] * 3,
@@ -689,6 +702,10 @@ class MultiRaceAviary(_gym.Env):
             key = jax.random.PRNGKey(self._seed_counter)
         self._state = self._jit_reset(key)
         self.step_counter = 0
+        from gym_pybullet_adrp_tpu.utils.enums import ObservationType
+
+        if self.observation_type == ObservationType.RGB:
+            return self._rgbObs(), {"answer": 42}
         obs = np.asarray(
             compute_obs(self.spec_, self.track, self._state), dtype=np.float64
         )
@@ -722,13 +739,44 @@ class MultiRaceAviary(_gym.Env):
             "answer": 42,
             "task_completed": bool(info["task_completed"]),
         }
+        from gym_pybullet_adrp_tpu.utils.enums import ObservationType
+
+        if self.observation_type == ObservationType.RGB:
+            obs_out = self._rgbObs()
+        else:
+            obs_out = np.asarray(obs, dtype=np.float64)
         return (
-            np.asarray(obs, dtype=np.float64),
+            obs_out,
             float(reward),
             bool(terminated),
             bool(truncated),
             info_out,
         )
+
+    def _rgbObs(self):
+        """(N, H, W, 4) drone-POV frames via the in-graph ray caster
+        (reference _computeObs RGB branch, :574-588)."""
+        from gym_pybullet_adrp_tpu.ops.render import (
+            drone_camera, render, scene_from_race_state,
+        )
+
+        st = self._state
+        scene = scene_from_race_state(
+            st.gates_actual, st.obstacles_actual, st.phys.pos
+        )
+        frames = []
+        for i in range(self.NUM_DRONES):
+            eye, target = drone_camera(
+                st.phys.pos[i], st.phys.quat[i],
+                float(np.asarray(st.drone.arm)[i])
+                if np.asarray(st.drone.arm).ndim else float(st.drone.arm),
+            )
+            rgba, _, _ = render(
+                scene, eye, target,
+                width=int(self.IMG_RES[0]), height=int(self.IMG_RES[1]),
+            )
+            frames.append(np.asarray(rgba))
+        return np.stack(frames).astype(np.float32)
 
     def close(self):
         pass

@@ -85,6 +85,10 @@ def simulate(
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (e.g. cpu); interactive "
+                         "episode loops avoid per-step TPU-tunnel latency "
+                         "on cpu")
     ap.add_argument("--config", default="configs/getting_started.yaml")
     ap.add_argument("--controller", nargs="+", default=["agents/hardcoded.py"])
     ap.add_argument("--n_runs", type=int, default=10)
@@ -92,6 +96,10 @@ def main():
     ap.add_argument("--gui", action="store_true")
     ap.add_argument("--racemode", choices=["compare", "compete"], default="compare")
     args = ap.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     times = simulate(
         config=args.config, controller=args.controller, n_runs=args.n_runs,
         n_drones=args.n_drones, gui=args.gui, racemode=args.racemode,
