@@ -104,3 +104,44 @@ def make_step(params: DroneParams, B: int, ctrl_freq: int = 30,
         )
 
     return step
+
+
+def ppo_adapter(params: DroneParams, n_envs: int, ctrl_freq: int = 30,
+                pyb_freq: int = 240, interpret: bool = False):
+    """EnvAdapter (rl/ppo.py) over the fused Pallas path.
+
+    Observation is the 12-dim kinematic vector (no action-history block);
+    actions are 4-dim RPM type. Drop-in for make_ppo_core when maximum
+    training throughput matters more than exact obs parity.
+    """
+    from gym_pybullet_adrp_tpu.rl.ppo import EnvAdapter
+
+    T = n_envs // LANE
+    step_fn = make_step(
+        params, n_envs, ctrl_freq=ctrl_freq, pyb_freq=pyb_freq,
+        interpret=interpret,
+    )
+
+    def batched_reset(key):
+        state = reset_packed(np.array([0.0, 0.0, 0.1125]), n_envs)
+        obs0 = jnp.zeros((12, T, LANE), dtype=state.packed.dtype)
+        obs0 = obs0.at[2].set(0.1125)
+        return state, _obs_to_batch(obs0)
+
+    def _obs_to_batch(obs12):
+        # (12, T, 128) -> (n_envs, 12)
+        return obs12.reshape(12, n_envs).T
+
+    def step(state, action, key):
+        act_packed = action.T.reshape(4, T, LANE)
+        state, (obs12, reward, done) = step_fn(state, act_packed)
+        return (
+            state,
+            _obs_to_batch(obs12),
+            reward.reshape(n_envs),
+            done.reshape(n_envs),
+        )
+
+    return EnvAdapter(
+        batched_reset=batched_reset, step=step, obs_dim=12, act_dim=4
+    )
