@@ -1,0 +1,125 @@
+"""Utility-layer tests: config loader, logger, delays, wrappers, misc."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+
+def test_config_loader_bundled_and_ladder():
+    from gym_pybullet_adrp_tpu.utils.config import load_config
+
+    cfg = load_config("getting_started")
+    assert cfg.pyb_freq == 500
+    assert len(cfg.gates) == 4 and len(cfg.gates[0]) == 7
+    assert cfg.init_states.drone0.pos == [0.9, 0.9, 0.05]
+    # ladder flags
+    assert not cfg.random_drone_state
+    l3 = load_config("level3.yaml")
+    assert l3.random_drone_state and l3.disturbances
+    assert not l3.reseed_on_reset
+    assert l3.disturbances_info.action.std == 0.001
+    with pytest.raises(FileNotFoundError):
+        load_config("nonexistent_scenario")
+
+
+def test_logger_roundtrip(tmp_path):
+    from gym_pybullet_adrp_tpu.utils.logger import Logger
+
+    lg = Logger(logging_freq_hz=48, num_drones=2, output_folder=str(tmp_path))
+    state = np.arange(20.0)
+    for i in range(10):
+        for d in range(2):
+            lg.log(drone=d, timestamp=i / 48, state=state, control=np.zeros(12))
+    path = lg.save()
+    assert path.endswith(".npy")
+    with open(path, "rb") as f:
+        data = np.load(f)
+        assert data["states"].shape[0] == 2
+    dest = lg.save_as_csv("t")
+    import os
+
+    assert os.path.exists(os.path.join(dest, "x0.csv"))
+    assert os.path.exists(os.path.join(dest, "pwm3-1.csv"))
+
+
+def test_map2pi_and_str2bool():
+    from gym_pybullet_adrp_tpu.utils.utils import map2pi, str2bool
+
+    np.testing.assert_allclose(map2pi(np.pi + 0.1), -np.pi + 0.1, atol=1e-12)
+    np.testing.assert_allclose(map2pi(-np.pi - 0.1), np.pi - 0.1, atol=1e-12)
+    assert str2bool("true") and str2bool("Y") and not str2bool("0")
+    with pytest.raises(ValueError):
+        str2bool("maybe")
+
+
+def test_sensor_delay_ring():
+    """SENSOR_DELAY ring: the filters see samples delayed by N ticks
+    (reference MellingerControl.py:228-233)."""
+    from gym_pybullet_adrp_tpu.control import mellinger as mel
+
+    st = mel.init_state((1,), dtype=jnp.float64, sensor_delay=2)
+    # distinctive velocities produce distinctive raw accelerations
+    vels = [np.array([[0.0, 0.0, v]]) for v in (0.1, 0.2, 0.3, 0.4)]
+    outs = []
+    for v in vels:
+        st, fw, gyro, acc = mel.update_sensor_and_state(
+            st, jnp.zeros((1, 3), dtype=jnp.float64),
+            jnp.zeros((1, 3), dtype=jnp.float64),
+            jnp.asarray(v, dtype=jnp.float64),
+        )
+        outs.append(float(np.asarray(acc)[0, 2]))
+    # first two ticks the filters saw only zero-history samples
+    assert abs(outs[0]) < 1e-9 and abs(outs[1]) < 1e-6
+    # third tick gets the (filtered) first real sample
+    assert abs(outs[2]) > 1e-3
+
+    # zero delay: first tick already passes the live sample
+    st0 = mel.init_state((1,), dtype=jnp.float64, sensor_delay=0)
+    _, _, _, acc0 = mel.update_sensor_and_state(
+        st0, jnp.zeros((1, 3), dtype=jnp.float64),
+        jnp.zeros((1, 3), dtype=jnp.float64),
+        jnp.asarray([[0.0, 0.0, 0.1]], dtype=jnp.float64),
+    )
+    assert abs(float(np.asarray(acc0)[0, 2])) > 1e-3
+
+
+def test_velocity_aviary_tracks_commanded_velocity():
+    from gym_pybullet_adrp_tpu.envs import VelocityAviary
+
+    env = VelocityAviary(num_drones=1, pyb_freq=240, ctrl_freq=48,
+                         initial_xyzs=np.array([[0, 0, 0.5]]))
+    obs, _ = env.reset()
+    cmd = np.array([[1.0, 0.0, 0.0, 0.5]])  # half speed limit in +x
+    for _ in range(96):
+        obs, *_ = env.step(cmd)
+    vx = obs[0][10]
+    expected = 0.5 * env.SPEED_LIMIT
+    np.testing.assert_allclose(vx, expected, rtol=0.25)
+
+
+def test_adjacency_matrix():
+    from gym_pybullet_adrp_tpu.envs import core
+    from gym_pybullet_adrp_tpu.envs.core import AviaryConfig
+
+    cfg = AviaryConfig(num_drones=3, neighbourhood_radius=0.5)
+    st = core.core_reset(
+        cfg,
+        np.array([[0, 0, 1], [0.3, 0, 1], [5, 5, 1]]),
+        np.zeros((3, 3)),
+    )
+    adj = np.asarray(core.adjacency_matrix(cfg, st))
+    assert adj[0, 1] == 1 and adj[1, 0] == 1
+    assert adj[0, 2] == 0 and adj[2, 1] == 0
+    np.testing.assert_array_equal(np.diag(adj), 1)
+
+
+def test_normalized_action_to_rpm_endpoints():
+    from gym_pybullet_adrp_tpu.envs import core
+    from gym_pybullet_adrp_tpu.models.drone import drone_params
+    from gym_pybullet_adrp_tpu.utils.enums import DroneModel
+
+    p = drone_params(DroneModel.CF2X, dtype=jnp.float64)
+    r = core.normalized_action_to_rpm(p, jnp.asarray([-1.0, 0.0, 1.0]))
+    np.testing.assert_allclose(float(r[0]), 0.0, atol=1e-9)
+    np.testing.assert_allclose(float(r[1]), float(p.hover_rpm), rtol=1e-9)
+    np.testing.assert_allclose(float(r[2]), float(p.max_rpm), rtol=1e-9)
