@@ -398,18 +398,7 @@ def race_step(spec: RaceSpec, track: RaceTrack, state: RaceState,
     n = spec.num_drones
     dt = jnp.asarray(1.0 / spec.pyb_freq, dtype=dtype)
 
-    # eliminated drones get STOP (reference :198-199)
-    cmd_ids = jnp.where(
-        state.eliminated, jnp.full_like(cmd_ids, int(Command.STOP)), cmd_ids
-    )
-    sim_time = state.step_counter.astype(dtype) / spec.pyb_freq
-    sv_rpy = state.phys.rpy
-    cmdr = cmdr_mod.process_command(
-        state.cmdr, cmd_ids, cmd_args,
-        jnp.broadcast_to(sim_time, (n,)),
-        state.phys.pos, state.phys.vel, sv_rpy[..., 2],
-    )
-    state = state._replace(cmdr=cmdr)
+    state = process_commands(spec, state, cmd_ids, cmd_args)
 
     def substep(carry, _):
         st, key = carry
@@ -464,12 +453,33 @@ def race_step(spec: RaceSpec, track: RaceTrack, state: RaceState,
         length=spec.steps_per_ctrl,
     )
 
-    # gate progress at ctrl rate (reference :257-258)
-    state = _gate_progress(spec, state)
+    return finish_ctrl_step(spec, track, state)
 
+
+def process_commands(spec: RaceSpec, state: RaceState, cmd_ids, cmd_args):
+    """Per-ctrl-step command fan-out (reference step:189-207): eliminated
+    drones are forced to STOP, then commands execute in-graph."""
+    dtype = state.phys.pos.dtype
+    n = spec.num_drones
+    cmd_ids = jnp.where(
+        state.eliminated, jnp.full_like(cmd_ids, int(Command.STOP)), cmd_ids
+    )
+    sim_time = state.step_counter.astype(dtype) / spec.pyb_freq
+    cmdr = cmdr_mod.process_command(
+        state.cmdr, cmd_ids, cmd_args,
+        jnp.broadcast_to(sim_time, (n,)),
+        state.phys.pos, state.phys.vel, state.phys.rpy[..., 2],
+    )
+    return state._replace(cmdr=cmdr)
+
+
+def finish_ctrl_step(spec: RaceSpec, track: RaceTrack, state: RaceState):
+    """Ctrl-rate tail: gate progress, obs, elimination/termination
+    (reference step:257-270 + _computeTerminated/_computeTruncated)."""
+    dtype = state.phys.pos.dtype
+    state = _gate_progress(spec, state)
     obs = compute_obs(spec, track, state)
 
-    # terminated (reference _computeTerminated:674-698)
     pos = state.phys.pos
     out_of_bounds = jnp.any(jnp.abs(pos) > track.bounds[1], axis=-1)
     unstable = jnp.any(jnp.abs(state.phys.ang_vel_world) > 20.0, axis=-1)
