@@ -138,3 +138,73 @@ def autoreset_race_step(spec: RaceSpec, track: RaceTrack, state: RaceRLState,
         done, race_mod.compute_obs(spec, track, new_state.race), obs
     )
     return new_state, obs, reward, terminated, truncated
+
+
+def batched_rl_race_step(spec: RaceSpec, track: RaceTrack, bstate,
+                         action, keys, end_after_gate: int = 0,
+                         fast: bool = False):
+    """Batch-level shaped training step with autoreset.
+
+    bstate: RaceRLState with (B, ...) leaves; action (B, N, 4) in [-1, 1];
+    keys (B,) PRNG keys for per-episode re-randomized resets. With
+    ``fast=True`` the firmware window runs through the Pallas race kernel
+    (envs/race_fast.py) in ONE launch for all B*N agents.
+    """
+    from gym_pybullet_adrp_tpu.envs import race_fast
+
+    B, n = action.shape[0], spec.num_drones
+    act = action * ACTION_SCALE.astype(action.dtype)
+    act = act.at[..., 3].set(0.0)
+    pose = jnp.concatenate(
+        [bstate.race.phys.pos, bstate.race.phys.rpy[..., 2:3]], axis=-1
+    )
+    act = pose + act
+    cmd_ids, args = jax.vmap(
+        lambda a, sc: race_mod.actions_to_commands(spec, a, sc)
+    )(act, bstate.race.step_counter.astype(action.dtype))
+
+    if fast:
+        rs, obs, _, terminated, truncated, info = (
+            race_fast.batched_race_step_fast(
+                spec, track, bstate.race, cmd_ids, args
+            )
+        )
+    else:
+        rs, obs, _, terminated, truncated, info = jax.vmap(
+            lambda s, i, a: race_mod.race_step(spec, track, s, i, a)
+        )(bstate.race, cmd_ids, args)
+
+    if end_after_gate:
+        terminated = terminated | (rs.current_gate[:, 0] >= end_after_gate)
+
+    def shape_one(st, ob, te, tc):
+        reward, gid, tgt, pos = shaped_reward(spec, st, ob, te, tc)
+        return RaceRLState(
+            race=st.race, current_gate_id=gid, current_target=tgt,
+            previous_pos=pos,
+        ), reward
+
+    # shaped_reward reads the pre-step shaping memory with the post-step obs
+    shaped_states, reward = jax.vmap(
+        lambda old, new_rs, ob, te, comp: shape_one(
+            old._replace(race=new_rs), ob, te, comp
+        )
+    )(bstate, rs, obs, terminated, info["task_completed"])
+
+    done = terminated | truncated
+    reset_states = jax.vmap(
+        lambda k: rl_race_reset(spec, track, k, dtype=obs.dtype)
+    )(keys)
+    new_state = jax.tree_util.tree_map(
+        lambda r, s: jnp.where(
+            done.reshape((B,) + (1,) * (s.ndim - 1)), r, s
+        ),
+        reset_states,
+        shaped_states,
+    )
+    obs = jnp.where(
+        done[:, None, None],
+        jax.vmap(lambda s: race_mod.compute_obs(spec, track, s.race))(new_state),
+        obs,
+    )
+    return new_state, obs, reward, terminated, truncated

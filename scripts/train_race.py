@@ -30,6 +30,9 @@ def main():
                     help="early termination after N gates (0 = full track)")
     ap.add_argument("--out", default="results/race_policy.msgpack")
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--fast", action="store_true",
+                    help="run the firmware window through the Pallas race "
+                         "kernel (envs/race_fast.py)")
     args = ap.parse_args()
 
     import jax
@@ -64,15 +67,12 @@ def main():
         )(states)
         return states, obs.reshape(cfg.n_envs, -1)
 
-    step1 = lambda s, a, k: race_rl.autoreset_race_step(
-        spec, track, s, a, k, end_after_gate=end_after
-    )
-
     def step(env_state, action, key):
         keys = jax.random.split(key, cfg.n_envs)
         act = action.reshape(cfg.n_envs, 1, 4)
-        env_state, obs, reward, term, trunc = jax.vmap(step1)(
-            env_state, act, keys
+        env_state, obs, reward, term, trunc = race_rl.batched_rl_race_step(
+            spec, track, env_state, act, keys, end_after_gate=end_after,
+            fast=args.fast,
         )
         return env_state, obs.reshape(cfg.n_envs, -1), reward, term | trunc
 
