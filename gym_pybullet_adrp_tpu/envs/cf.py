@@ -29,7 +29,6 @@ from gym_pybullet_adrp_tpu.control import commander as cmdr_mod
 from gym_pybullet_adrp_tpu.control import mellinger as mel
 from gym_pybullet_adrp_tpu.envs import core
 from gym_pybullet_adrp_tpu.envs.aviary import JaxAviaryBase
-from gym_pybullet_adrp_tpu.envs.core import AviaryConfig
 from gym_pybullet_adrp_tpu.utils.constants import (
     ACTION_DELAY, MAX_PWM, MIN_PWM, PWM2RPM_CONST, PWM2RPM_SCALE,
 )

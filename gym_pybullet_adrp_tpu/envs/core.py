@@ -17,8 +17,8 @@ from typing import NamedTuple
 import numpy as np
 import jax.numpy as jnp
 
-from gym_pybullet_adrp_tpu.ops import dynamics, quat as quat_ops
-from gym_pybullet_adrp_tpu.models.drone import DroneParams, drone_params
+from gym_pybullet_adrp_tpu.ops import dynamics
+from gym_pybullet_adrp_tpu.models.drone import DroneParams
 from gym_pybullet_adrp_tpu.utils.enums import DroneModel, Physics
 
 

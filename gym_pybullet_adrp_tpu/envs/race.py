@@ -33,7 +33,6 @@ Documented behavioral deviations from reference quirks (SURVEY "quirks"):
 """
 
 from dataclasses import dataclass
-from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
@@ -598,8 +597,6 @@ class MultiRaceAviary(_gym.Env):
         act=None,
         dtype=jnp.float32,
     ):
-        from gym_pybullet_adrp_tpu.utils.config import AttrDict
-
         if isinstance(race_config, str):
             from gym_pybullet_adrp_tpu.utils.config import load_config
 

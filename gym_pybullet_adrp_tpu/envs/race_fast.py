@@ -12,7 +12,6 @@ batches use `batched_race_window`, which flattens (B, N) agents together so
 one kernel launch serves the whole env batch.
 """
 
-from functools import partial
 
 import numpy as np
 import jax

@@ -20,7 +20,6 @@ import jax.numpy as jnp
 
 from gym_pybullet_adrp_tpu.envs import race as race_mod
 from gym_pybullet_adrp_tpu.envs.race import RaceSpec, RaceState, RaceTrack
-from gym_pybullet_adrp_tpu.utils.enums import Command
 
 ACTION_SCALE = jnp.asarray([1.0, 1.0, 1.0, jnp.pi])
 

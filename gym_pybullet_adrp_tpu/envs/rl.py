@@ -14,7 +14,6 @@ wrap with ``autoreset_step`` for RL training (thousands of envs per chip).
 """
 
 from dataclasses import dataclass, field
-from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
@@ -24,8 +23,8 @@ import jax.numpy as jnp
 from gym_pybullet_adrp_tpu.envs import core
 from gym_pybullet_adrp_tpu.envs.core import AviaryConfig, CoreState
 from gym_pybullet_adrp_tpu.control import dslpid
-from gym_pybullet_adrp_tpu.models.drone import DroneParams, drone_params
-from gym_pybullet_adrp_tpu.utils.enums import ActionType, DroneModel, ObservationType, Physics
+from gym_pybullet_adrp_tpu.models.drone import DroneParams
+from gym_pybullet_adrp_tpu.utils.enums import ActionType, DroneModel, ObservationType
 
 
 def action_size(act: ActionType) -> int:

@@ -14,7 +14,6 @@ driver's dryrun exercise it without hardware).
 """
 
 from functools import partial
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

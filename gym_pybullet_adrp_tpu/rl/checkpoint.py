@@ -11,8 +11,6 @@ import os
 from pathlib import Path
 from typing import Optional
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from gym_pybullet_adrp_tpu.rl.ppo import TrainState

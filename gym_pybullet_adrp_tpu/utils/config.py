@@ -7,7 +7,6 @@ without the munch dependency: nested dicts become ``AttrDict`` with both
 (reference config/*.yaml, SURVEY §5).
 """
 
-import os
 from pathlib import Path
 
 import yaml

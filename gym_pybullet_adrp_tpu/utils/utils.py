@@ -7,7 +7,6 @@ control/mellinger.py).
 """
 
 import importlib.util
-import math
 import time
 from pathlib import Path
 
