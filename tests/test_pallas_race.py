@@ -89,3 +89,28 @@ def test_batched_matches_single():
         np.testing.assert_allclose(
             np.asarray(bstate.phys.pos[i]), np.asarray(s.phys.pos), atol=1e-6
         )
+
+
+def test_fast_supports_level2_randomization():
+    """level2 (randomized state/inertia/gates, no stochastic in-window
+    disturbances... level2 has disturbances=True so it is NOT supported;
+    level0 is). Verify the support predicate and a level0 COMPETE window."""
+    cfg0 = load_config("level0")
+    spec0 = race_mod.RaceSpec.from_config(cfg0, 2, RaceMode.COMPETE, Physics.PYB)
+    assert race_fast.supports(spec0)
+    cfg2 = load_config("level2")
+    spec2 = race_mod.RaceSpec.from_config(cfg2, 2, RaceMode.COMPETE, Physics.PYB)
+    assert not race_fast.supports(spec2)  # in-window wind/action noise
+
+    track = race_mod.track_from_config(cfg0, 2)
+    s = race_mod.race_reset(spec0, track, jax.random.PRNGKey(5))
+    ids, vec = _cmds(2, Command.TAKEOFF, [0.3, 2.0])
+    s_ref = s_fast = s
+    for _ in range(3):
+        s_ref, *_ = race_mod.race_step(spec0, track, s_ref, ids, vec)
+        s_fast, *_ = race_fast.race_step_fast(
+            spec0, track, s_fast, ids, vec, interpret=True
+        )
+        ids, vec = _cmds(2, Command.NONE, [])
+    dpos = float(jnp.abs(s_ref.phys.pos - s_fast.phys.pos).max())
+    assert dpos < 1e-3, dpos
