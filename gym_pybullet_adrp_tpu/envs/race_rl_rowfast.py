@@ -1,0 +1,456 @@
+"""Row-major race RL trainer path: packed state across steps.
+
+The fused race window kernel runs at ~325M env-steps/s, but the general
+pipeline (envs/race_fast.py) spends >99% of its time repacking the RaceState
+pytree every control step and running the ctrl-rate tail as vmapped
+per-env geometry. This module specializes the RL training configuration —
+single CF2X drone, COMPARE mode, FULLSTATE pose-relative actions, PYB
+physics, no stochastic disturbances (the twogates / getting_started
+training setups) — and keeps EVERYTHING in channel-row form `(T, 128)`
+across steps:
+
+* the policy action is the only thing transposed in, the 49-dim obs the
+  only thing transposed out;
+* FULLSTATE command processing degenerates to writing a handful of W rows
+  (no commander state survives between steps under a FULLSTATE stream);
+* gate progress / collisions / observation flags / RewardWrapper shaping /
+  autoreset are expressed as row math over the static track geometry.
+
+Correctness is asserted against the general path in
+tests/test_race_rowfast.py (interpret mode).
+"""
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gym_pybullet_adrp_tpu.envs import race_fast
+from gym_pybullet_adrp_tpu.envs.race import RaceSpec, RaceTrack
+from gym_pybullet_adrp_tpu.ops import pallas_race
+from gym_pybullet_adrp_tpu.utils.constants import (
+    GATE_BEAM_HALF, GATE_EDGE_HALF_LEN, GATE_OPENING_HALF, GATE_RAY_HALF_LEN,
+    GATE_SUPPORT_CENTER_DZ, GATE_SUPPORT_HALF_LEN, GATE_SUPPORT_RADIUS,
+    GATE_Z_LOW, GATE_Z_TALL, OBSTACLE_HALF_LEN, OBSTACLE_RADIUS, RAD_TO_DEG,
+    VISIBILITY_RANGE,
+)
+from gym_pybullet_adrp_tpu.utils.enums import RaceMode
+
+LANE = pallas_race.LANE
+S_CH = pallas_race.S_CHANNELS
+W_CH = pallas_race.W_CHANNELS
+
+
+class RowRaceState(NamedTuple):
+    """All-rows training state (leaves (.., T, 128))."""
+
+    S: jnp.ndarray              # (58, T, 128) kernel state block
+    current_gate: jnp.ndarray   # (T, 128)
+    eliminated: jnp.ndarray     # (T, 128) 0/1
+    finished: jnp.ndarray       # (T, 128) 0/1
+    ep_steps: jnp.ndarray       # (T, 128) ctrl steps this episode
+    # RewardWrapper shaping memory (reference wrapper.py:80-99)
+    shape_gate_id: jnp.ndarray  # (T, 128)
+    target_xyz: jnp.ndarray     # (3, T, 128)
+    prev_pos: jnp.ndarray       # (3, T, 128)
+
+
+def supports(spec: RaceSpec) -> bool:
+    return (
+        race_fast.supports(spec)
+        and spec.num_drones == 1
+        and spec.racemode == RaceMode.COMPARE
+        and not spec.random_gates_obstacles
+        and not spec.random_drone_inertia
+    )
+
+
+def _track_consts(spec: RaceSpec, track: RaceTrack):
+    """Static numpy geometry for the row tail."""
+    gates = np.asarray(track.gates_nominal)          # (G, 7)
+    obstacles = np.asarray(track.obstacles_nominal)  # (O, 6)
+    bounds_hi = np.asarray(track.bounds)[1]
+    heights = np.where(gates[:, 6] == 0, GATE_Z_TALL, GATE_Z_LOW)
+    return gates, obstacles, bounds_hi, heights
+
+
+def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
+                 end_after_gate: int = 0, interpret: bool = False):
+    """Build (reset(key) -> state, step(state, action(B,4), key) ->
+    (state, obs(B,49), reward(B,), done(B,))) in row form."""
+    assert supports(spec), "row-fast path supports 1-drone COMPARE, no dist"
+    assert n_envs % LANE == 0
+    T = n_envs // LANE
+    G = spec.num_gates
+    O = spec.num_obstacles
+    gates, obstacles, bounds_hi, heights = _track_consts(spec, track)
+    kf, km, arm, ground_z = race_fast._model_scalars(spec)
+    from gym_pybullet_adrp_tpu.models.drone import CF2X_LEGACY
+
+    mass = CF2X_LEGACY["mass"]
+    J = CF2X_LEGACY["J"]
+    init_pos = np.asarray(track.init_pos)[0]
+    init_rpy = np.asarray(track.init_rpy)[0]
+    rs_pos = np.asarray(spec.rs_pos) if spec.random_drone_state else None
+    rs_rot = np.asarray(spec.rs_rot) if spec.random_drone_state else None
+    max_steps = spec.episode_len_sec * spec.ctrl_freq
+    drone_r, half_h = 0.06, 0.0125
+
+    # constant observation blocks (no gate/obstacle randomization here)
+    gate_pose_obs = gates[:, [0, 1, 2, 5]].reshape(-1)        # (4G,)
+    obst_pose_obs = obstacles[:, :3].reshape(-1)              # (3O,)
+
+    def reset_rows(key):
+        """Fresh per-env S rows + bookkeeping (race_reset semantics)."""
+        kp, kr = jax.random.split(key)
+        if rs_pos is not None:
+            lo_p, hi_p = rs_pos[:, 0], rs_pos[:, 1]
+            lo_r, hi_r = rs_rot[:, 0], rs_rot[:, 1]
+            dpos = (
+                jax.random.uniform(kp, (3, T, LANE))
+                * (hi_p - lo_p)[:, None, None] + lo_p[:, None, None]
+            )
+            drpy = (
+                jax.random.uniform(kr, (3, T, LANE))
+                * (hi_r - lo_r)[:, None, None] + lo_r[:, None, None]
+            )
+        else:
+            dpos = jnp.zeros((3, T, LANE))
+            drpy = jnp.zeros((3, T, LANE))
+        px = init_pos[0] + dpos[0]
+        py = init_pos[1] + dpos[1]
+        pz = init_pos[2] + dpos[2]
+        roll = init_rpy[0] + drpy[0]
+        pitch = init_rpy[1] + drpy[1]
+        yaw = init_rpy[2] + drpy[2]
+        cr, sr = jnp.cos(roll / 2), jnp.sin(roll / 2)
+        cp, sp = jnp.cos(pitch / 2), jnp.sin(pitch / 2)
+        cy, sy = jnp.cos(yaw / 2), jnp.sin(yaw / 2)
+        qx = sr * cp * cy - cr * sp * sy
+        qy = cr * sp * cy + sr * cp * sy
+        qz = cr * cp * sy - sr * sp * cy
+        qw = cr * cp * cy + sr * sp * sy
+        z = jnp.zeros((T, LANE))
+        S = jnp.stack(
+            [px, py, pz, qx, qy, qz, qw] + [z] * 6      # vel, omega
+            + [z] * 8                                    # rpms, prev_rpms
+            + [roll, pitch, yaw]                         # prev_rpy = rpy
+            + [z] * 3                                    # prev_vel
+            + [z] * 12                                   # LPF states
+            + [z] * 6 + [z] * 2 + [z] * 2 + [z] * 4     # integrals etc.
+            + [z] * 5,                                   # tick..error
+            axis=0,
+        )
+        return S, px, py, pz, roll, pitch, yaw
+
+    def reset(key):
+        S, px, py, pz, _, _, _ = reset_rows(key)
+        zz = jnp.zeros((T, LANE))
+        tgt = jnp.stack(
+            [jnp.full((T, LANE), gates[0, 0]),
+             jnp.full((T, LANE), gates[0, 1]),
+             jnp.full((T, LANE), gates[0, 2])], axis=0,
+        )
+        return RowRaceState(
+            S=S, current_gate=zz, eliminated=zz, finished=zz, ep_steps=zz,
+            shape_gate_id=zz, target_xyz=tgt,
+            prev_pos=jnp.stack([px, py, pz], axis=0),
+        )
+
+    def build_W(state: RowRaceState, action_rows):
+        """FULLSTATE pose-relative setpoint rows (reference RLController
+        transform; eliminated drones -> STOP)."""
+        S = state.S
+        elim = state.eliminated
+        px, py, pz = S[0], S[1], S[2]
+        yaw = S[23]  # prev_rpy yaw == current yaw
+        sx = px + action_rows[0]
+        sy = py + action_rows[1]
+        sz = pz + action_rows[2]
+        z = jnp.zeros_like(px)
+        one = jnp.ones_like(px)
+        alive = 1.0 - elim
+        rows = (
+            [sx, sy, sz]              # sp_pos
+            + [z, z, z]               # sp_vel
+            + [z, z, z]               # sp_acc
+            + [z, z, z]               # sp_att_rate
+            + [yaw * RAD_TO_DEG]      # desired yaw (FULLSTATE quat chain)
+            + [z]                     # thrust (STOP -> 0)
+            + [alive]                 # pos_mode (STOP disables)
+            + [elim]                  # z_mode_disable for eliminated
+            + [z]                     # planner off
+            + [z, z]                  # t_begin, duration
+            + [elim]                  # eliminated mask for the kernel
+            + [z] * 32                # coeffs unused
+            + [jnp.full_like(px, mass), jnp.full_like(px, J[0]),
+               jnp.full_like(px, J[1]), jnp.full_like(px, J[2])]
+            + [z]                     # reserved
+        )
+        return jnp.stack(rows, axis=0)
+
+    def row_tail(state: RowRaceState, S):
+        """Gate progress, collisions, obs, shaping — all rows."""
+        px, py, pz = S[0], S[1], S[2]
+        roll, pitch, yaw = S[21], S[22], S[23]
+        vx, vy, vz = S[7], S[8], S[9]
+        qx, qy, qz, qw = S[3], S[4], S[5], S[6]
+        wx, wy, wz = S[10], S[11], S[12]
+        # world angular velocity
+        r00 = 1 - 2 * (qy * qy + qz * qz)
+        r01 = 2 * (qx * qy - qz * qw)
+        r02 = 2 * (qx * qz + qy * qw)
+        r10 = 2 * (qx * qy + qz * qw)
+        r11 = 1 - 2 * (qx * qx + qz * qz)
+        r12 = 2 * (qy * qz - qx * qw)
+        r20 = 2 * (qx * qz - qy * qw)
+        r21 = 2 * (qy * qz + qx * qw)
+        r22 = 1 - 2 * (qx * qx + qy * qy)
+        ox = r00 * wx + r01 * wy + r02 * wz
+        oy = r10 * wx + r11 * wy + r12 * wz
+        oz = r20 * wx + r21 * wy + r22 * wz
+
+        # ---- gate progress (ray-fan test for the tracked gate) ------------
+        finished = jnp.maximum(
+            state.finished, (state.current_gate >= G).astype(px.dtype)
+        )
+        passed_any = jnp.zeros_like(px)
+        for g in range(G):
+            gx, gy, gyaw = gates[g, 0], gates[g, 1], gates[g, 5]
+            h = heights[g]
+            c, s = np.cos(gyaw), np.sin(gyaw)
+            relx, rely = px - gx, py - gy
+            along = relx * c + rely * s
+            perp = jnp.abs(-relx * s + rely * c)
+            dz_lo = (h - GATE_RAY_HALF_LEN) - pz
+            dz_hi = pz - (h + GATE_RAY_HALF_LEN)
+            dz_out = jnp.maximum(jnp.maximum(dz_lo, dz_hi), 0.0)
+            # distance to nearest of the 7 rays: lateral offsets i*0.05
+            i_near = jnp.clip(jnp.round(along / 0.05), -3.0, 3.0)
+            d_lat = jnp.abs(along - i_near * 0.05)
+            dist2 = perp * perp + d_lat * d_lat + dz_out * dz_out
+            hit = dist2 < drone_r * drone_r
+            passed_any = passed_any + hit.astype(px.dtype) * (
+                (state.current_gate == g).astype(px.dtype)
+            )
+        in_prog = (state.current_gate < G).astype(px.dtype)
+        current_gate = state.current_gate + jnp.minimum(passed_any, 1.0) * in_prog
+
+        # ---- collisions / elimination -------------------------------------
+        crash = jnp.zeros_like(px, dtype=bool)
+        for g in range(G):
+            gx, gy, gz_, gyaw = gates[g, 0], gates[g, 1], gates[g, 2], gates[g, 5]
+            c, s = np.cos(gyaw), np.sin(gyaw)
+            relx, rely = px - gx, py - gy
+            along = relx * c + rely * s
+            perp = jnp.abs(-relx * s + rely * c)
+            dzc = pz - gz_
+            within = jnp.abs(along) < GATE_EDGE_HALF_LEN + drone_r
+            horiz = within & (perp < GATE_BEAM_HALF + drone_r) & (
+                (jnp.abs(dzc - GATE_OPENING_HALF) < GATE_BEAM_HALF + half_h)
+                | (jnp.abs(dzc + GATE_OPENING_HALF) < GATE_BEAM_HALF + half_h)
+            )
+            vert = (perp < GATE_BEAM_HALF + drone_r) & (
+                (jnp.abs(along - GATE_OPENING_HALF) < GATE_BEAM_HALF + drone_r)
+                | (jnp.abs(along + GATE_OPENING_HALF) < GATE_BEAM_HALF + drone_r)
+            ) & (jnp.abs(dzc) < GATE_EDGE_HALF_LEN + half_h)
+            sup_lo = gz_ + GATE_SUPPORT_CENTER_DZ - GATE_SUPPORT_HALF_LEN
+            sup_hi = gz_ + GATE_SUPPORT_CENTER_DZ + GATE_SUPPORT_HALF_LEN
+            dxy = jnp.sqrt(relx * relx + rely * rely)
+            sup = (
+                (dxy < GATE_SUPPORT_RADIUS + drone_r)
+                & (pz - half_h < sup_hi) & (pz + half_h > sup_lo)
+            )
+            crash = crash | horiz | vert | sup
+        for o in range(O):
+            ox_, oy_, oz_ = obstacles[o, 0], obstacles[o, 1], obstacles[o, 2]
+            dxy = jnp.sqrt((px - ox_) ** 2 + (py - oy_) ** 2)
+            crash = crash | (
+                (dxy < OBSTACLE_RADIUS + drone_r)
+                & (pz - half_h < oz_ + OBSTACLE_HALF_LEN)
+                & (pz + half_h > oz_ - OBSTACLE_HALF_LEN)
+            )
+        crash = crash | (pz <= ground_z + 1e-6)
+        oob = (
+            (jnp.abs(px) > bounds_hi[0]) | (jnp.abs(py) > bounds_hi[1])
+            | (jnp.abs(pz) > bounds_hi[2])
+        )
+        unstable = (
+            (jnp.abs(ox) > 20.0) | (jnp.abs(oy) > 20.0) | (jnp.abs(oz) > 20.0)
+        )
+        eliminated = jnp.maximum(
+            state.eliminated,
+            (crash | oob | unstable).astype(px.dtype),
+        )
+
+        # ---- visibility flags (exact min over the 5 frame capsules,
+        #      matching ops/collision.drone_gate_distance) ------------------
+        gate_range = []
+        e = GATE_EDGE_HALF_LEN
+        hb = GATE_BEAM_HALF
+        for g in range(G):
+            gx, gy, gz_, gyaw = gates[g, 0], gates[g, 1], gates[g, 2], gates[g, 5]
+            c, s = np.cos(gyaw), np.sin(gyaw)
+            relx, rely = px - gx, py - gy
+            along = relx * c + rely * s
+            perp = -relx * s + rely * c
+            dzc = pz - gz_
+            a_cl = jnp.clip(along, -e, e)
+            # horizontal beams at z ± 0.225
+            d_top = jnp.sqrt(
+                (along - a_cl) ** 2 + perp ** 2 + (dzc - GATE_OPENING_HALF) ** 2
+            ) - hb
+            d_bot = jnp.sqrt(
+                (along - a_cl) ** 2 + perp ** 2 + (dzc + GATE_OPENING_HALF) ** 2
+            ) - hb
+            # vertical beams at along ± 0.225
+            z_cl = jnp.clip(dzc, -e, e)
+            d_l = jnp.sqrt(
+                (along + GATE_OPENING_HALF) ** 2 + perp ** 2 + (dzc - z_cl) ** 2
+            ) - hb
+            d_r = jnp.sqrt(
+                (along - GATE_OPENING_HALF) ** 2 + perp ** 2 + (dzc - z_cl) ** 2
+            ) - hb
+            # support capsule below
+            sup_c = GATE_SUPPORT_CENTER_DZ
+            s_cl = jnp.clip(dzc - sup_c, -GATE_SUPPORT_HALF_LEN,
+                            GATE_SUPPORT_HALF_LEN)
+            d_s = jnp.sqrt(
+                relx ** 2 + rely ** 2 + (dzc - sup_c - s_cl) ** 2
+            ) - GATE_SUPPORT_RADIUS
+            d = jnp.minimum(
+                jnp.minimum(jnp.minimum(d_top, d_bot), jnp.minimum(d_l, d_r)),
+                d_s,
+            )
+            gate_range.append((d < VISIBILITY_RANGE).astype(px.dtype))
+        obst_range = []
+        for o in range(O):
+            ox_, oy_, oz_ = obstacles[o, 0], obstacles[o, 1], obstacles[o, 2]
+            dxy = jnp.sqrt((px - ox_) ** 2 + (py - oy_) ** 2)
+            dz_out = jnp.maximum(
+                jnp.maximum((oz_ - OBSTACLE_HALF_LEN) - pz,
+                            pz - (oz_ + OBSTACLE_HALF_LEN)), 0.0)
+            d = jnp.sqrt(dxy * dxy + dz_out * dz_out) - OBSTACLE_RADIUS
+            obst_range.append((d < VISIBILITY_RANGE).astype(px.dtype))
+
+        return (
+            current_gate, eliminated, finished,
+            (roll, pitch, yaw, vx, vy, vz, ox, oy, oz),
+            gate_range, obst_range,
+        )
+
+    def step(state: RowRaceState, action, key):
+        """action: (B, 4) in [-1, 1]. Returns (state, obs (B, 49),
+        reward (B,), done (B,))."""
+        a = jnp.clip(action, -1.0, 1.0) * jnp.asarray([1.0, 1.0, 1.0, np.pi])
+        action_rows = a.T.reshape(4, T, LANE)
+        W = build_W(state, action_rows)
+        S = pallas_race.race_window(
+            kf, km, arm, ground_z, state.S, W,
+            n_ticks=spec.steps_per_ctrl, dt=1.0 / spec.pyb_freq,
+            interpret=interpret,
+        )
+        (current_gate, eliminated, finished, kin, gate_range, obst_range) = \
+            row_tail(state, S)
+        roll, pitch, yaw, vx, vy, vz, ox, oy, oz = kin
+        px, py, pz = S[0], S[1], S[2]
+
+        ep_steps = state.ep_steps + 1
+        done_mask = jnp.maximum(eliminated, finished)
+        terminated = done_mask > 0.5
+        if end_after_gate:
+            terminated = terminated | (current_gate >= end_after_gate)
+        truncated = ep_steps * spec.steps_per_ctrl / spec.pyb_freq > \
+            spec.episode_len_sec
+        task_completed = finished > 0.5
+
+        # ---- RewardWrapper shaping (reference wrapper.py:121-186) ---------
+        passed = current_gate > jnp.mod(state.shape_gate_id, G)
+        gid = jnp.clip(current_gate, 0, G - 1)
+        tx = jnp.zeros_like(px)
+        ty = jnp.zeros_like(px)
+        tz = jnp.zeros_like(px)
+        for g in range(G):
+            m = (gid == g).astype(px.dtype)
+            tx = tx + m * gates[g, 0]
+            ty = ty + m * gates[g, 1]
+            tz = tz + m * gates[g, 2]
+        new_tx = jnp.where(passed, tx, state.target_xyz[0])
+        new_ty = jnp.where(passed, ty, state.target_xyz[1])
+        new_tz = jnp.where(passed, tz, state.target_xyz[2])
+        new_gate_id = jnp.where(passed, current_gate, state.shape_gate_id)
+        r_passed = jnp.where(passed, 5.0, 0.0)
+        r_coll = jnp.where(terminated & ~task_completed, -1.0, 0.0)
+        r_lap = jnp.where(terminated & task_completed, 10.0, 0.0)
+        d_prev_xy = jnp.sqrt(
+            (new_tx - state.prev_pos[0]) ** 2 + (new_ty - state.prev_pos[1]) ** 2
+        )
+        d_cur_xy = jnp.sqrt((new_tx - px) ** 2 + (new_ty - py) ** 2)
+        d_prev_z = jnp.abs(new_tz - state.prev_pos[2])
+        d_cur_z = jnp.abs(new_tz - pz)
+        reward = (
+            (d_prev_xy - d_cur_xy) + (d_prev_z - d_cur_z)
+            + r_passed + r_coll + r_lap
+        )
+
+        # ---- observation (49 channels) ------------------------------------
+        const_rows = [jnp.full_like(px, v) for v in gate_pose_obs]
+        obst_rows = [jnp.full_like(px, v) for v in obst_pose_obs]
+        obs_rows = jnp.stack(
+            [px, py, pz, roll, pitch, yaw, vx, vy, vz, ox, oy, oz]
+            + const_rows + gate_range + obst_rows + obst_range
+            + [current_gate],
+            axis=0,
+        )  # (49, T, 128)
+
+        # ---- autoreset ----------------------------------------------------
+        done = terminated | truncated
+        S_reset, rpx, rpy_, rpz, rroll, rpitch, ryaw = reset_rows(key)
+        d = done.astype(px.dtype)
+        S = jnp.where(done[None], S_reset, S)
+        new_state = RowRaceState(
+            S=S,
+            current_gate=current_gate * (1 - d),
+            eliminated=eliminated * (1 - d),
+            finished=finished * (1 - d),
+            ep_steps=ep_steps * (1 - d).astype(ep_steps.dtype),
+            shape_gate_id=new_gate_id * (1 - d),
+            target_xyz=jnp.where(
+                done[None],
+                jnp.stack([
+                    jnp.full_like(px, gates[0, 0]),
+                    jnp.full_like(px, gates[0, 1]),
+                    jnp.full_like(px, gates[0, 2]),
+                ], axis=0),
+                jnp.stack([new_tx, new_ty, new_tz], axis=0),
+            ),
+            prev_pos=jnp.where(
+                done[None],
+                jnp.stack([rpx, rpy_, rpz], axis=0),
+                jnp.stack([px, py, pz], axis=0),
+            ),
+        )
+        # post-done obs = fresh episode's first obs (kin of reset pose)
+        obs_rows = jnp.where(done[None], 0.0, obs_rows)
+        obs_rows = obs_rows.at[0].set(jnp.where(done, rpx, obs_rows[0]))
+        obs_rows = obs_rows.at[1].set(jnp.where(done, rpy_, obs_rows[1]))
+        obs_rows = obs_rows.at[2].set(jnp.where(done, rpz, obs_rows[2]))
+        obs_rows = obs_rows.at[3].set(jnp.where(done, rroll, obs_rows[3]))
+        obs_rows = obs_rows.at[4].set(jnp.where(done, rpitch, obs_rows[4]))
+        obs_rows = obs_rows.at[5].set(jnp.where(done, ryaw, obs_rows[5]))
+        for i, v in enumerate(gate_pose_obs):
+            obs_rows = obs_rows.at[12 + i].set(
+                jnp.where(done, v, obs_rows[12 + i])
+            )
+        for i, v in enumerate(obst_pose_obs):
+            obs_rows = obs_rows.at[12 + 4 * G + G + i].set(
+                jnp.where(done, v, obs_rows[12 + 4 * G + G + i])
+            )
+
+        obs = obs_rows.reshape(obs_rows.shape[0], n_envs).T  # (B, 49)
+        return (
+            new_state, obs, reward.reshape(n_envs), done.reshape(n_envs),
+        )
+
+    return reset, step

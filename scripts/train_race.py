@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--fast", action="store_true",
                     help="run the firmware window through the Pallas race "
                          "kernel (envs/race_fast.py)")
+    ap.add_argument("--rowfast", action="store_true",
+                    help="fully row-major env path (envs/race_rl_rowfast.py;"
+                         " fastest, 1-drone COMPARE configs)")
     args = ap.parse_args()
 
     import jax
@@ -67,21 +70,48 @@ def main():
         )(states)
         return states, obs.reshape(cfg.n_envs, -1)
 
-    def step(env_state, action, key):
-        keys = jax.random.split(key, cfg.n_envs)
-        act = action.reshape(cfg.n_envs, 1, 4)
-        env_state, obs, reward, term, trunc = race_rl.batched_rl_race_step(
-            spec, track, env_state, act, keys, end_after_gate=end_after,
-            fast=args.fast,
-        )
-        return env_state, obs.reshape(cfg.n_envs, -1), reward, term | trunc
+    if args.rowfast:
+        from gym_pybullet_adrp_tpu.envs import race_rl_rowfast
 
-    adapter = EnvAdapter(
-        batched_reset=batched_reset,
-        step=step,
-        obs_dim=spec.obs_size,
-        act_dim=4,
-    )
+        row_reset, row_step = race_rl_rowfast.make_row_env(
+            spec, track, cfg.n_envs, end_after_gate=end_after
+        )
+
+        def batched_reset(key):
+            st = row_reset(key)
+            # first obs via one zero-action probe is unnecessary: assemble
+            # the kinematic/constant channels directly from the reset rows
+            obs = jnp.zeros((cfg.n_envs, spec.obs_size), dtype=jnp.float32)
+            obs = obs.at[:, 0:3].set(
+                st.prev_pos.reshape(3, cfg.n_envs).T
+            )
+            return st, obs
+
+        def step(env_state, action, key):
+            return row_step(env_state, action, key) + ()
+
+        adapter = EnvAdapter(
+            batched_reset=batched_reset,
+            step=lambda s, a, k: row_step(s, a, k),
+            obs_dim=spec.obs_size,
+            act_dim=4,
+        )
+    else:
+        def step(env_state, action, key):
+            keys = jax.random.split(key, cfg.n_envs)
+            act = action.reshape(cfg.n_envs, 1, 4)
+            env_state, obs, reward, term, trunc = race_rl.batched_rl_race_step(
+                spec, track, env_state, act, keys, end_after_gate=end_after,
+                fast=args.fast,
+            )
+            return env_state, obs.reshape(cfg.n_envs, -1), reward, term | trunc
+
+        adapter = EnvAdapter(
+            batched_reset=batched_reset,
+            step=step,
+            obs_dim=spec.obs_size,
+            act_dim=4,
+        )
     init_fn, train_step, eval_fn = make_ppo_core(cfg, adapter)
     ts = init_fn(jax.random.PRNGKey(0))
     train = jax.jit(train_step)
