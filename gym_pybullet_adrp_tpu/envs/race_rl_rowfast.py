@@ -3,18 +3,24 @@
 The fused race window kernel runs at ~325M env-steps/s, but the general
 pipeline (envs/race_fast.py) spends >99% of its time repacking the RaceState
 pytree every control step and running the ctrl-rate tail as vmapped
-per-env geometry. This module specializes the RL training configuration —
-single CF2X drone, COMPARE mode, FULLSTATE pose-relative actions, PYB
-physics, no stochastic disturbances (the twogates / getting_started
-training setups) — and keeps EVERYTHING in channel-row form `(T, 128)`
-across steps:
+per-env geometry. This module specializes the RL training configurations —
+CF2X drones, FULLSTATE pose-relative actions, PYB physics, no stochastic
+disturbances, no gate/inertia randomization (the twogates / getting_started
+/ level0 training setups), COMPARE or COMPETE mode, any drone count — and
+keeps EVERYTHING in channel-row form `(T, 128)` across steps:
 
-* the policy action is the only thing transposed in, the 49-dim obs the
+* the policy action is the only thing transposed in, the obs block the
   only thing transposed out;
 * FULLSTATE command processing degenerates to writing a handful of W rows
   (no commander state survives between steps under a FULLSTATE stream);
 * gate progress / collisions / observation flags / RewardWrapper shaping /
   autoreset are expressed as row math over the static track geometry.
+
+Multi-drone layout is **drone-major**: with B envs (multiple of 128) and N
+drones, drone ``d`` of all envs occupies row block ``[d*Tb, (d+1)*Tb)``
+where ``Tb = B/128``. COMPETE's opponent-pose observations and drone-drone
+collision tests (reference MultiRaceAviary obs :654-659 / reset :151-159)
+are then pure row slices — no lane shuffles.
 
 Correctness is asserted against the general path in
 tests/test_race_rowfast.py (interpret mode).
@@ -43,24 +49,26 @@ W_CH = pallas_race.W_CHANNELS
 
 
 class RowRaceState(NamedTuple):
-    """All-rows training state (leaves (.., T, 128))."""
+    """All-rows training state.
 
-    S: jnp.ndarray              # (58, T, 128) kernel state block
-    current_gate: jnp.ndarray   # (T, 128)
-    eliminated: jnp.ndarray     # (T, 128) 0/1
-    finished: jnp.ndarray       # (T, 128) 0/1
-    ep_steps: jnp.ndarray       # (T, 128) ctrl steps this episode
-    # RewardWrapper shaping memory (reference wrapper.py:80-99)
-    shape_gate_id: jnp.ndarray  # (T, 128)
-    target_xyz: jnp.ndarray     # (3, T, 128)
-    prev_pos: jnp.ndarray       # (3, T, 128)
+    Per-agent leaves are drone-major ``(N*Tb, 128)``; per-env leaves
+    (episode counter, drone-0 RewardWrapper memory) are ``(Tb, 128)``.
+    """
+
+    S: jnp.ndarray              # (58, N*Tb, 128) kernel state block
+    current_gate: jnp.ndarray   # (N*Tb, 128)
+    eliminated: jnp.ndarray     # (N*Tb, 128) 0/1
+    finished: jnp.ndarray       # (N*Tb, 128) 0/1
+    ep_steps: jnp.ndarray       # (Tb, 128) ctrl steps this episode
+    # RewardWrapper shaping memory for drone 0 (reference wrapper.py:80-99)
+    shape_gate_id: jnp.ndarray  # (Tb, 128)
+    target_xyz: jnp.ndarray     # (3, Tb, 128)
+    prev_pos: jnp.ndarray       # (3, Tb, 128)
 
 
 def supports(spec: RaceSpec) -> bool:
     return (
         race_fast.supports(spec)
-        and spec.num_drones == 1
-        and spec.racemode == RaceMode.COMPARE
         and not spec.random_gates_obstacles
         and not spec.random_drone_inertia
     )
@@ -77,32 +85,60 @@ def _track_consts(spec: RaceSpec, track: RaceTrack):
 
 def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
                  end_after_gate: int = 0, interpret: bool = False):
-    """Build (reset(key) -> state, step(state, action(B,4), key) ->
-    (state, obs(B,49), reward(B,), done(B,))) in row form."""
-    assert supports(spec), "row-fast path supports 1-drone COMPARE, no dist"
-    assert n_envs % LANE == 0
-    T = n_envs // LANE
+    """Build ``(reset(key) -> state, step(state, action, key) ->
+    (state, obs, reward(B,), done(B,)))`` in row form.
+
+    Single drone: ``action (B, 4)``, ``obs (B, 49)`` (the historical
+    interface). Multi-drone: ``action (B, N, 4)``, ``obs (B, N, obs_size)``
+    with COMPETE's ``6*(N-1)`` opponent-pose channels appended per drone.
+    Reward is drone-0 shaped, done is env-level (all drones
+    eliminated-or-finished, or truncation) — matching
+    ``race_rl.batched_rl_race_step`` semantics.
+    """
+    assert supports(spec), "row-fast path: no randomized gates/inertia/dist"
+    assert n_envs % LANE == 0, f"n_envs must be a multiple of {LANE}"
+    N = spec.num_drones
+    Tb = n_envs // LANE
+    T = N * Tb
     G = spec.num_gates
     O = spec.num_obstacles
+    compete = spec.racemode == RaceMode.COMPETE
     gates, obstacles, bounds_hi, heights = _track_consts(spec, track)
     kf, km, arm, ground_z = race_fast._model_scalars(spec)
     from gym_pybullet_adrp_tpu.models.drone import CF2X_LEGACY
 
     mass = CF2X_LEGACY["mass"]
     J = CF2X_LEGACY["J"]
-    init_pos = np.asarray(track.init_pos)[0]
-    init_rpy = np.asarray(track.init_rpy)[0]
+    init_pos = np.asarray(track.init_pos)[:N]        # (N, 3)
+    init_rpy = np.asarray(track.init_rpy)[:N]        # (N, 3)
     rs_pos = np.asarray(spec.rs_pos) if spec.random_drone_state else None
     rs_rot = np.asarray(spec.rs_rot) if spec.random_drone_state else None
-    max_steps = spec.episode_len_sec * spec.ctrl_freq
     drone_r, half_h = 0.06, 0.0125
+
+    def const_rows(per_drone_vals):
+        """(N,) python/np values -> (N*Tb, 1) drone-major row constant."""
+        return jnp.asarray(
+            np.repeat(np.asarray(per_drone_vals, dtype=np.float32), Tb)
+        )[:, None]
+
+    init_px = const_rows(init_pos[:, 0])
+    init_py = const_rows(init_pos[:, 1])
+    init_pz = const_rows(init_pos[:, 2])
+    init_roll = const_rows(init_rpy[:, 0])
+    init_pitch = const_rows(init_rpy[:, 1])
+    init_yaw = const_rows(init_rpy[:, 2])
 
     # constant observation blocks (no gate/obstacle randomization here)
     gate_pose_obs = gates[:, [0, 1, 2, 5]].reshape(-1)        # (4G,)
     obst_pose_obs = obstacles[:, :3].reshape(-1)              # (3O,)
 
+    def _d(x, d):
+        """Drone-d row block of an (N*Tb, 128) rowset."""
+        return x[d * Tb:(d + 1) * Tb]
+
     def reset_rows(key):
-        """Fresh per-env S rows + bookkeeping (race_reset semantics)."""
+        """Fresh per-agent S rows + reset pose rows (race_reset semantics:
+        one independent state-randomization draw per drone)."""
         kp, kr = jax.random.split(key)
         if rs_pos is not None:
             lo_p, hi_p = rs_pos[:, 0], rs_pos[:, 1]
@@ -118,12 +154,12 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
         else:
             dpos = jnp.zeros((3, T, LANE))
             drpy = jnp.zeros((3, T, LANE))
-        px = init_pos[0] + dpos[0]
-        py = init_pos[1] + dpos[1]
-        pz = init_pos[2] + dpos[2]
-        roll = init_rpy[0] + drpy[0]
-        pitch = init_rpy[1] + drpy[1]
-        yaw = init_rpy[2] + drpy[2]
+        px = init_px + dpos[0]
+        py = init_py + dpos[1]
+        pz = init_pz + dpos[2]
+        roll = init_roll + drpy[0]
+        pitch = init_pitch + drpy[1]
+        yaw = init_yaw + drpy[2]
         cr, sr = jnp.cos(roll / 2), jnp.sin(roll / 2)
         cp, sp = jnp.cos(pitch / 2), jnp.sin(pitch / 2)
         cy, sy = jnp.cos(yaw / 2), jnp.sin(yaw / 2)
@@ -146,16 +182,17 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
 
     def reset(key):
         S, px, py, pz, _, _, _ = reset_rows(key)
+        zz_env = jnp.zeros((Tb, LANE))
         zz = jnp.zeros((T, LANE))
         tgt = jnp.stack(
-            [jnp.full((T, LANE), gates[0, 0]),
-             jnp.full((T, LANE), gates[0, 1]),
-             jnp.full((T, LANE), gates[0, 2])], axis=0,
+            [jnp.full((Tb, LANE), gates[0, 0]),
+             jnp.full((Tb, LANE), gates[0, 1]),
+             jnp.full((Tb, LANE), gates[0, 2])], axis=0,
         )
         return RowRaceState(
-            S=S, current_gate=zz, eliminated=zz, finished=zz, ep_steps=zz,
-            shape_gate_id=zz, target_xyz=tgt,
-            prev_pos=jnp.stack([px, py, pz], axis=0),
+            S=S, current_gate=zz, eliminated=zz, finished=zz,
+            ep_steps=zz_env, shape_gate_id=zz_env, target_xyz=tgt,
+            prev_pos=jnp.stack([_d(px, 0), _d(py, 0), _d(pz, 0)], axis=0),
         )
 
     def build_W(state: RowRaceState, action_rows):
@@ -169,7 +206,6 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
         sy = py + action_rows[1]
         sz = pz + action_rows[2]
         z = jnp.zeros_like(px)
-        one = jnp.ones_like(px)
         alive = 1.0 - elim
         rows = (
             [sx, sy, sz]              # sp_pos
@@ -191,7 +227,7 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
         return jnp.stack(rows, axis=0)
 
     def row_tail(state: RowRaceState, S):
-        """Gate progress, collisions, obs, shaping — all rows."""
+        """Gate progress, collisions, obs channels, per-agent — all rows."""
         px, py, pz = S[0], S[1], S[2]
         roll, pitch, yaw = S[21], S[22], S[23]
         vx, vy, vz = S[7], S[8], S[9]
@@ -272,6 +308,26 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
                 & (pz + half_h > oz_ - OBSTACLE_HALF_LEN)
             )
         crash = crash | (pz <= ground_z + 1e-6)
+        if compete and N > 1:
+            # pairwise flat-cylinder overlap between same-env drones
+            # (ops/collision.drone_drone_collision row form): drone-major
+            # layout makes the opponent a row-block slice, no lane shuffles
+            dd = []
+            for d in range(N):
+                hit_d = jnp.zeros((Tb, LANE), dtype=bool)
+                for e in range(N):
+                    if e == d:
+                        continue
+                    dxy2 = (
+                        (_d(px, d) - _d(px, e)) ** 2
+                        + (_d(py, d) - _d(py, e)) ** 2
+                    )
+                    hit_d = hit_d | (
+                        (dxy2 < (2.0 * drone_r) ** 2)
+                        & (jnp.abs(_d(pz, d) - _d(pz, e)) < 2.0 * half_h)
+                    )
+                dd.append(hit_d)
+            crash = crash | jnp.concatenate(dd, axis=0)
         oob = (
             (jnp.abs(px) > bounds_hi[0]) | (jnp.abs(py) > bounds_hi[1])
             | (jnp.abs(pz) > bounds_hi[2])
@@ -341,10 +397,17 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
         )
 
     def step(state: RowRaceState, action, key):
-        """action: (B, 4) in [-1, 1]. Returns (state, obs (B, 49),
-        reward (B,), done (B,))."""
+        """action: (B, 4) when N == 1 else (B, N, 4), in [-1, 1].
+
+        Returns (state, obs, reward (B,), done (B,)) with obs (B, 49) for a
+        single drone, (B, N, obs_size) otherwise.
+        """
         a = jnp.clip(action, -1.0, 1.0) * jnp.asarray([1.0, 1.0, 1.0, np.pi])
-        action_rows = a.T.reshape(4, T, LANE)
+        if N == 1 and a.ndim == 2:
+            action_rows = a.T.reshape(4, T, LANE)
+        else:
+            # (B, N, 4) -> drone-major rows (4, N*Tb, 128)
+            action_rows = a.transpose(2, 1, 0).reshape(4, T, LANE)
         W = build_W(state, action_rows)
         S = pallas_race.race_window(
             kf, km, arm, ground_z, state.S, W,
@@ -357,98 +420,138 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
         px, py, pz = S[0], S[1], S[2]
 
         ep_steps = state.ep_steps + 1
+        # env-level done: ALL drones eliminated-or-finished (reference
+        # _computeTerminated:674-698 / finish_ctrl_step)
         done_mask = jnp.maximum(eliminated, finished)
-        terminated = done_mask > 0.5
+        all_done = done_mask.reshape(N, Tb, LANE).min(axis=0)
+        terminated = all_done > 0.5
         if end_after_gate:
-            terminated = terminated | (current_gate >= end_after_gate)
+            # drone-0 early cutoff (DroneObservationWrapper, wrapper.py:61-63)
+            terminated = terminated | (_d(current_gate, 0) >= end_after_gate)
         truncated = ep_steps * spec.steps_per_ctrl / spec.pyb_freq > \
             spec.episode_len_sec
-        task_completed = finished > 0.5
+        # all drones finished (reference info["task_completed"] semantics)
+        task_completed = finished.reshape(N, Tb, LANE).min(axis=0) > 0.5
 
-        # ---- RewardWrapper shaping (reference wrapper.py:121-186) ---------
-        passed = current_gate > jnp.mod(state.shape_gate_id, G)
-        gid = jnp.clip(current_gate, 0, G - 1)
-        tx = jnp.zeros_like(px)
-        ty = jnp.zeros_like(px)
-        tz = jnp.zeros_like(px)
+        # ---- RewardWrapper shaping for drone 0 (reference wrapper.py) -----
+        cg0 = _d(current_gate, 0)
+        px0, py0, pz0 = _d(px, 0), _d(py, 0), _d(pz, 0)
+        passed = cg0 > jnp.mod(state.shape_gate_id, G)
+        gid = jnp.clip(cg0, 0, G - 1)
+        tx = jnp.zeros_like(px0)
+        ty = jnp.zeros_like(px0)
+        tz = jnp.zeros_like(px0)
         for g in range(G):
-            m = (gid == g).astype(px.dtype)
+            m = (gid == g).astype(px0.dtype)
             tx = tx + m * gates[g, 0]
             ty = ty + m * gates[g, 1]
             tz = tz + m * gates[g, 2]
         new_tx = jnp.where(passed, tx, state.target_xyz[0])
         new_ty = jnp.where(passed, ty, state.target_xyz[1])
         new_tz = jnp.where(passed, tz, state.target_xyz[2])
-        new_gate_id = jnp.where(passed, current_gate, state.shape_gate_id)
+        new_gate_id = jnp.where(passed, cg0, state.shape_gate_id)
         r_passed = jnp.where(passed, 5.0, 0.0)
         r_coll = jnp.where(terminated & ~task_completed, -1.0, 0.0)
         r_lap = jnp.where(terminated & task_completed, 10.0, 0.0)
         d_prev_xy = jnp.sqrt(
             (new_tx - state.prev_pos[0]) ** 2 + (new_ty - state.prev_pos[1]) ** 2
         )
-        d_cur_xy = jnp.sqrt((new_tx - px) ** 2 + (new_ty - py) ** 2)
+        d_cur_xy = jnp.sqrt((new_tx - px0) ** 2 + (new_ty - py0) ** 2)
         d_prev_z = jnp.abs(new_tz - state.prev_pos[2])
-        d_cur_z = jnp.abs(new_tz - pz)
+        d_cur_z = jnp.abs(new_tz - pz0)
         reward = (
             (d_prev_xy - d_cur_xy) + (d_prev_z - d_cur_z)
             + r_passed + r_coll + r_lap
         )
 
-        # ---- observation (49 channels) ------------------------------------
-        const_rows = [jnp.full_like(px, v) for v in gate_pose_obs]
+        # ---- observation channels (per agent) ------------------------------
+        const_rows_g = [jnp.full_like(px, v) for v in gate_pose_obs]
         obst_rows = [jnp.full_like(px, v) for v in obst_pose_obs]
-        obs_rows = jnp.stack(
+        obs_list = (
             [px, py, pz, roll, pitch, yaw, vx, vy, vz, ox, oy, oz]
-            + const_rows + gate_range + obst_rows + obst_range
-            + [current_gate],
-            axis=0,
-        )  # (49, T, 128)
+            + const_rows_g + gate_range + obst_rows + obst_range
+            + [current_gate]
+        )
+        if compete and N > 1:
+            # opponents' (pos, rpy), ascending drone index skipping self
+            # (reference _computeObs:654-659); per-drone channels assembled
+            # from the opponents' row blocks
+            pose6 = (px, py, pz, roll, pitch, yaw)
+            for j in range(N - 1):
+                for ch in pose6:
+                    blocks = []
+                    for d in range(N):
+                        e = [e_ for e_ in range(N) if e_ != d][j]
+                        blocks.append(_d(ch, e))
+                    obs_list.append(jnp.concatenate(blocks, axis=0))
+        obs_rows = jnp.stack(obs_list, axis=0)  # (C, N*Tb, 128)
+        C = obs_rows.shape[0]
 
         # ---- autoreset ----------------------------------------------------
-        done = terminated | truncated
+        done = terminated | truncated            # (Tb, 128) env-level
+        done_rows = jnp.tile(done, (N, 1))       # (N*Tb, 128)
         S_reset, rpx, rpy_, rpz, rroll, rpitch, ryaw = reset_rows(key)
-        d = done.astype(px.dtype)
-        S = jnp.where(done[None], S_reset, S)
+        d_env = done.astype(px.dtype)
+        d_rows = done_rows.astype(px.dtype)
+        S = jnp.where(done_rows[None], S_reset, S)
         new_state = RowRaceState(
             S=S,
-            current_gate=current_gate * (1 - d),
-            eliminated=eliminated * (1 - d),
-            finished=finished * (1 - d),
-            ep_steps=ep_steps * (1 - d).astype(ep_steps.dtype),
-            shape_gate_id=new_gate_id * (1 - d),
+            current_gate=current_gate * (1 - d_rows),
+            eliminated=eliminated * (1 - d_rows),
+            finished=finished * (1 - d_rows),
+            ep_steps=ep_steps * (1 - d_env).astype(ep_steps.dtype),
+            shape_gate_id=new_gate_id * (1 - d_env),
             target_xyz=jnp.where(
                 done[None],
                 jnp.stack([
-                    jnp.full_like(px, gates[0, 0]),
-                    jnp.full_like(px, gates[0, 1]),
-                    jnp.full_like(px, gates[0, 2]),
+                    jnp.full_like(px0, gates[0, 0]),
+                    jnp.full_like(px0, gates[0, 1]),
+                    jnp.full_like(px0, gates[0, 2]),
                 ], axis=0),
                 jnp.stack([new_tx, new_ty, new_tz], axis=0),
             ),
             prev_pos=jnp.where(
                 done[None],
-                jnp.stack([rpx, rpy_, rpz], axis=0),
-                jnp.stack([px, py, pz], axis=0),
+                jnp.stack([_d(rpx, 0), _d(rpy_, 0), _d(rpz, 0)], axis=0),
+                jnp.stack([px0, py0, pz0], axis=0),
             ),
         )
         # post-done obs = fresh episode's first obs (kin of reset pose)
-        obs_rows = jnp.where(done[None], 0.0, obs_rows)
-        obs_rows = obs_rows.at[0].set(jnp.where(done, rpx, obs_rows[0]))
-        obs_rows = obs_rows.at[1].set(jnp.where(done, rpy_, obs_rows[1]))
-        obs_rows = obs_rows.at[2].set(jnp.where(done, rpz, obs_rows[2]))
-        obs_rows = obs_rows.at[3].set(jnp.where(done, rroll, obs_rows[3]))
-        obs_rows = obs_rows.at[4].set(jnp.where(done, rpitch, obs_rows[4]))
-        obs_rows = obs_rows.at[5].set(jnp.where(done, ryaw, obs_rows[5]))
+        obs_rows = jnp.where(done_rows[None], 0.0, obs_rows)
+        reset_kin = (rpx, rpy_, rpz, rroll, rpitch, ryaw)
+        for i, v in enumerate(reset_kin):
+            obs_rows = obs_rows.at[i].set(
+                jnp.where(done_rows, v, obs_rows[i])
+            )
         for i, v in enumerate(gate_pose_obs):
             obs_rows = obs_rows.at[12 + i].set(
-                jnp.where(done, v, obs_rows[12 + i])
+                jnp.where(done_rows, v, obs_rows[12 + i])
             )
         for i, v in enumerate(obst_pose_obs):
             obs_rows = obs_rows.at[12 + 4 * G + G + i].set(
-                jnp.where(done, v, obs_rows[12 + 4 * G + G + i])
+                jnp.where(done_rows, v, obs_rows[12 + 4 * G + G + i])
             )
+        if compete and N > 1:
+            # opponent channels after reset = opponents' reset poses
+            base = 12 + 4 * G + G + 3 * O + O + 1
+            ch_i = base
+            for j in range(N - 1):
+                for ch in reset_kin:
+                    blocks = []
+                    for d in range(N):
+                        e = [e_ for e_ in range(N) if e_ != d][j]
+                        blocks.append(_d(ch, e))
+                    fresh = jnp.concatenate(blocks, axis=0)
+                    obs_rows = obs_rows.at[ch_i].set(
+                        jnp.where(done_rows, fresh, obs_rows[ch_i])
+                    )
+                    ch_i += 1
 
-        obs = obs_rows.reshape(obs_rows.shape[0], n_envs).T  # (B, 49)
+        if N == 1:
+            obs = obs_rows.reshape(C, n_envs).T  # (B, 49)
+        else:
+            # (C, N, Tb, 128) -> (B, N, C)
+            obs = obs_rows.reshape(C, N, n_envs).transpose(2, 1, 0)
         return (
             new_state, obs, reward.reshape(n_envs), done.reshape(n_envs),
         )

@@ -58,5 +58,118 @@ def test_rowfast_support_predicate():
     cfg0 = load_config("twogates")
     spec0 = race_mod.RaceSpec.from_config(cfg0, 1, RaceMode.COMPARE, Physics.PYB)
     assert race_rl_rowfast.supports(spec0)
-    specC = race_mod.RaceSpec.from_config(cfg0, 1, RaceMode.COMPETE, Physics.PYB)
-    assert not race_rl_rowfast.supports(specC)
+    specC = race_mod.RaceSpec.from_config(cfg0, 2, RaceMode.COMPETE, Physics.PYB)
+    assert race_rl_rowfast.supports(specC)  # multi-drone COMPETE row path
+    cfg1 = load_config("level1")
+    spec1 = race_mod.RaceSpec.from_config(cfg1, 1, RaceMode.COMPARE, Physics.PYB)
+    assert not race_rl_rowfast.supports(spec1)  # disturbances
+
+
+def test_rowfast_compete_matches_fast_path(monkeypatch):
+    """2-drone COMPETE: opponent-pose obs channels, drone-drone collision
+    elimination, env-level done, drone-0 shaped reward — all must track the
+    pack/unpack kernel path (race_fast, itself validated against the general
+    XLA path), which shares the window dynamics but computes the ctrl-rate
+    tail with the independent XLA geometry. getting_started: deterministic
+    resets, so trajectories are comparable step by step.
+
+    Runs under disable_x64: the conftest's global x64 makes the fast path
+    compute setpoint assembly in f64-then-round while the row path is
+    f32-native, and that 1e-8 seed amplifies through the knife-edge firmware
+    PWM/gating boundaries over a multi-step closed loop. In matched (f32)
+    precision the two paths agree to ~1e-8 per step.
+    """
+    import gym_pybullet_adrp_tpu.ops.pallas_race as pr
+
+    orig_window = pr.race_window
+    monkeypatch.setattr(
+        pr, "race_window",
+        lambda *a, **k: orig_window(*a, **{**k, "interpret": True}),
+    )
+    with jax.enable_x64(False):
+        _run_compete_comparison()
+
+
+def _run_compete_comparison():
+    cfg = load_config("getting_started")
+    N = 2
+    spec = race_mod.RaceSpec.from_config(cfg, N, RaceMode.COMPETE, Physics.PYB)
+    track = race_mod.track_from_config(cfg, N)
+    B = 128
+    G, O = spec.num_gates, spec.num_obstacles
+    reset, step = race_rl_rowfast.make_row_env(
+        spec, track, B, end_after_gate=0, interpret=True
+    )
+    st_row = reset(jax.random.PRNGKey(0))
+    keys = jax.random.split(jax.random.PRNGKey(1), B)
+    bstate = jax.vmap(lambda k: race_rl.rl_race_reset(spec, track, k))(keys)
+
+    act = jnp.tile(
+        jnp.asarray(
+            [[[0.0, 0.0, 0.4, 0.0]], [[0.05, 0.0, 0.3, 0.0]]],
+            dtype=jnp.float32,
+        ).reshape(1, N, 4),
+        (B, 1, 1),
+    )
+    for i in range(8):
+        k = jax.random.PRNGKey(100 + i)
+        st_row, obs_r, rew_r, done_r = step(st_row, act, k)
+        bstate, obs_g, rew_g, te, tr = race_rl.batched_rl_race_step(
+            spec, track, bstate, act, jax.random.split(k, B), fast=True,
+        )
+    assert obs_r.shape == obs_g.shape == (B, N, spec.obs_size)
+    assert spec.obs_size == 49 + 6 * (N - 1)
+    # matched-precision paths agree essentially bit-exactly
+    assert float(jnp.abs(obs_r - obs_g).max()) < 1e-5
+    # discrete channels identical: visibility flags + gate id, per drone
+    for sl in (
+        slice(12 + 4 * G, 12 + 5 * G),
+        slice(12 + 5 * G + 3 * O, 12 + 5 * G + 4 * O),
+        slice(48, 49),
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(obs_r[:, :, sl]), np.asarray(obs_g[:, :, sl])
+        )
+    # opponent pose channels mirror the other drone's kinematic channels
+    np.testing.assert_allclose(
+        np.asarray(obs_r[:, 0, 49:55]), np.asarray(obs_r[:, 1, 0:6]),
+        rtol=0, atol=0,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(done_r), np.asarray(te | tr)
+    )
+    np.testing.assert_allclose(
+        np.asarray(rew_r), np.asarray(rew_g), atol=0.02
+    )
+
+
+def test_rowfast_compete_drone_collision_eliminates():
+    """Force both drones to the same spot -> drone-drone contact eliminates
+    both (COMPETE semantics) and the episode terminates env-wide."""
+    cfg = load_config("getting_started")
+    N = 2
+    spec = race_mod.RaceSpec.from_config(cfg, N, RaceMode.COMPETE, Physics.PYB)
+    track = race_mod.track_from_config(cfg, N)
+    B = 128
+    reset, step = race_rl_rowfast.make_row_env(
+        spec, track, B, end_after_gate=0, interpret=True
+    )
+    st = reset(jax.random.PRNGKey(0))
+    # steer drone 1 onto drone 0's start column while both climb
+    init = np.asarray(track.init_pos)
+    d10 = (init[0] - init[1]).astype(np.float32)
+    act = jnp.tile(
+        jnp.asarray(
+            [[0.0, 0.0, 0.5, 0.0],
+             [np.clip(d10[0], -1, 1), np.clip(d10[1], -1, 1), 0.5, 0.0]],
+            dtype=jnp.float32,
+        ).reshape(1, N, 4),
+        (B, 1, 1),
+    )
+    collided = False
+    for i in range(25):
+        st, obs, rew, done = step(st, act, jax.random.PRNGKey(i))
+        if bool(jnp.any(done)):
+            collided = True
+            break
+    assert collided, "drones never collided/terminated"
