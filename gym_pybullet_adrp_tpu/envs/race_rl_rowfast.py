@@ -60,10 +60,12 @@ class RowRaceState(NamedTuple):
     eliminated: jnp.ndarray     # (N*Tb, 128) 0/1
     finished: jnp.ndarray       # (N*Tb, 128) 0/1
     ep_steps: jnp.ndarray       # (Tb, 128) ctrl steps this episode
-    # RewardWrapper shaping memory for drone 0 (reference wrapper.py:80-99)
-    shape_gate_id: jnp.ndarray  # (Tb, 128)
-    target_xyz: jnp.ndarray     # (3, Tb, 128)
-    prev_pos: jnp.ndarray       # (3, Tb, 128)
+    # RewardWrapper shaping memory, per drone (reference wrapper.py:80-99;
+    # the reference wrapper shapes drone 0 only — rows for every drone make
+    # the same shaping available per agent for shared-policy self-play)
+    shape_gate_id: jnp.ndarray  # (N*Tb, 128)
+    target_xyz: jnp.ndarray     # (3, N*Tb, 128)
+    prev_pos: jnp.ndarray       # (3, N*Tb, 128)
 
 
 def supports(spec: RaceSpec) -> bool:
@@ -84,16 +86,24 @@ def _track_consts(spec: RaceSpec, track: RaceTrack):
 
 
 def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
-                 end_after_gate: int = 0, interpret: bool = False):
+                 end_after_gate: int = 0, interpret: bool = False,
+                 per_drone_reward: bool = False):
     """Build ``(reset(key) -> state, step(state, action, key) ->
-    (state, obs, reward(B,), done(B,)))`` in row form.
+    (state, obs, reward, done(B,)))`` in row form.
 
     Single drone: ``action (B, 4)``, ``obs (B, 49)`` (the historical
     interface). Multi-drone: ``action (B, N, 4)``, ``obs (B, N, obs_size)``
     with COMPETE's ``6*(N-1)`` opponent-pose channels appended per drone.
-    Reward is drone-0 shaped, done is env-level (all drones
-    eliminated-or-finished, or truncation) — matching
-    ``race_rl.batched_rl_race_step`` semantics.
+    Done is env-level (all drones eliminated-or-finished, or truncation) —
+    matching ``race_rl.batched_rl_race_step``.
+
+    Reward: by default drone-0 shaped, reward ``(B,)`` — the reference
+    RewardWrapper semantics (one trainable agent). With
+    ``per_drone_reward=True`` every drone gets its own shaping (dense
+    progress + gate pass, −1 on its own elimination, +10 on its own
+    finish), reward ``(B, N)`` — the shared-policy self-play mode the
+    reference's subprocess architecture could not express (its README
+    states only one agent can be trained at a time).
     """
     assert supports(spec), "row-fast path: no randomized gates/inertia/dist"
     assert n_envs % LANE == 0, f"n_envs must be a multiple of {LANE}"
@@ -185,14 +195,15 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
         zz_env = jnp.zeros((Tb, LANE))
         zz = jnp.zeros((T, LANE))
         tgt = jnp.stack(
-            [jnp.full((Tb, LANE), gates[0, 0]),
-             jnp.full((Tb, LANE), gates[0, 1]),
-             jnp.full((Tb, LANE), gates[0, 2])], axis=0,
+            [jnp.full((T, LANE), gates[0, 0]),
+             jnp.full((T, LANE), gates[0, 1]),
+             jnp.full((T, LANE), gates[0, 2])], axis=0,
         )
         return RowRaceState(
             S=S, current_gate=zz, eliminated=zz, finished=zz,
-            ep_steps=zz_env, shape_gate_id=zz_env, target_xyz=tgt,
-            prev_pos=jnp.stack([_d(px, 0), _d(py, 0), _d(pz, 0)], axis=0),
+            ep_steps=zz_env, shape_gate_id=zz,
+            target_xyz=tgt,
+            prev_pos=jnp.stack([px, py, pz], axis=0),
         )
 
     def build_W(state: RowRaceState, action_rows):
@@ -433,36 +444,41 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
         # all drones finished (reference info["task_completed"] semantics)
         task_completed = finished.reshape(N, Tb, LANE).min(axis=0) > 0.5
 
-        # ---- RewardWrapper shaping for drone 0 (reference wrapper.py) -----
-        cg0 = _d(current_gate, 0)
-        px0, py0, pz0 = _d(px, 0), _d(py, 0), _d(pz, 0)
-        passed = cg0 > jnp.mod(state.shape_gate_id, G)
-        gid = jnp.clip(cg0, 0, G - 1)
-        tx = jnp.zeros_like(px0)
-        ty = jnp.zeros_like(px0)
-        tz = jnp.zeros_like(px0)
+        # ---- RewardWrapper shaping, per drone rows (reference wrapper.py) -
+        passed = current_gate > jnp.mod(state.shape_gate_id, G)
+        gid = jnp.clip(current_gate, 0, G - 1)
+        tx = jnp.zeros_like(px)
+        ty = jnp.zeros_like(px)
+        tz = jnp.zeros_like(px)
         for g in range(G):
-            m = (gid == g).astype(px0.dtype)
+            m = (gid == g).astype(px.dtype)
             tx = tx + m * gates[g, 0]
             ty = ty + m * gates[g, 1]
             tz = tz + m * gates[g, 2]
         new_tx = jnp.where(passed, tx, state.target_xyz[0])
         new_ty = jnp.where(passed, ty, state.target_xyz[1])
         new_tz = jnp.where(passed, tz, state.target_xyz[2])
-        new_gate_id = jnp.where(passed, cg0, state.shape_gate_id)
+        new_gate_id = jnp.where(passed, current_gate, state.shape_gate_id)
         r_passed = jnp.where(passed, 5.0, 0.0)
-        r_coll = jnp.where(terminated & ~task_completed, -1.0, 0.0)
-        r_lap = jnp.where(terminated & task_completed, 10.0, 0.0)
         d_prev_xy = jnp.sqrt(
             (new_tx - state.prev_pos[0]) ** 2 + (new_ty - state.prev_pos[1]) ** 2
         )
-        d_cur_xy = jnp.sqrt((new_tx - px0) ** 2 + (new_ty - py0) ** 2)
+        d_cur_xy = jnp.sqrt((new_tx - px) ** 2 + (new_ty - py) ** 2)
         d_prev_z = jnp.abs(new_tz - state.prev_pos[2])
-        d_cur_z = jnp.abs(new_tz - pz0)
-        reward = (
-            (d_prev_xy - d_cur_xy) + (d_prev_z - d_cur_z)
-            + r_passed + r_coll + r_lap
-        )
+        d_cur_z = jnp.abs(new_tz - pz)
+        progress = (d_prev_xy - d_cur_xy) + (d_prev_z - d_cur_z) + r_passed
+
+        if per_drone_reward:
+            # own-event sparse terms: −1 the step a drone is eliminated,
+            # +10 the step it finishes the lap
+            elim_edge = eliminated - state.eliminated
+            finish_edge = finished - state.finished
+            reward = progress - elim_edge + 10.0 * finish_edge
+        else:
+            # reference semantics: drone-0 shaping, env-level sparse terms
+            r_coll = jnp.where(terminated & ~task_completed, -1.0, 0.0)
+            r_lap = jnp.where(terminated & task_completed, 10.0, 0.0)
+            reward = _d(progress, 0) + r_coll + r_lap
 
         # ---- observation channels (per agent) ------------------------------
         const_rows_g = [jnp.full_like(px, v) for v in gate_pose_obs]
@@ -500,20 +516,20 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
             eliminated=eliminated * (1 - d_rows),
             finished=finished * (1 - d_rows),
             ep_steps=ep_steps * (1 - d_env).astype(ep_steps.dtype),
-            shape_gate_id=new_gate_id * (1 - d_env),
+            shape_gate_id=new_gate_id * (1 - d_rows),
             target_xyz=jnp.where(
-                done[None],
+                done_rows[None],
                 jnp.stack([
-                    jnp.full_like(px0, gates[0, 0]),
-                    jnp.full_like(px0, gates[0, 1]),
-                    jnp.full_like(px0, gates[0, 2]),
+                    jnp.full_like(px, gates[0, 0]),
+                    jnp.full_like(px, gates[0, 1]),
+                    jnp.full_like(px, gates[0, 2]),
                 ], axis=0),
                 jnp.stack([new_tx, new_ty, new_tz], axis=0),
             ),
             prev_pos=jnp.where(
-                done[None],
-                jnp.stack([_d(rpx, 0), _d(rpy_, 0), _d(rpz, 0)], axis=0),
-                jnp.stack([px0, py0, pz0], axis=0),
+                done_rows[None],
+                jnp.stack([rpx, rpy_, rpz], axis=0),
+                jnp.stack([px, py, pz], axis=0),
             ),
         )
         # post-done obs = fresh episode's first obs (kin of reset pose)
@@ -552,8 +568,10 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
         else:
             # (C, N, Tb, 128) -> (B, N, C)
             obs = obs_rows.reshape(C, N, n_envs).transpose(2, 1, 0)
-        return (
-            new_state, obs, reward.reshape(n_envs), done.reshape(n_envs),
-        )
+        if per_drone_reward:
+            reward_out = reward.reshape(N, n_envs).T  # (B, N)
+        else:
+            reward_out = reward.reshape(n_envs)
+        return new_state, obs, reward_out, done.reshape(n_envs)
 
     return reset, step

@@ -35,7 +35,14 @@ def main():
                          "kernel (envs/race_fast.py)")
     ap.add_argument("--rowfast", action="store_true",
                     help="fully row-major env path (envs/race_rl_rowfast.py;"
-                         " fastest, 1-drone COMPARE configs)")
+                         " fastest, non-randomized-track configs)")
+    ap.add_argument("--n_drones", type=int, default=1,
+                    help="with --rowfast and >1: shared-policy self-play — "
+                         "every drone acts and learns from its own shaped "
+                         "reward (the reference can train only one agent)")
+    ap.add_argument("--compete", action="store_true",
+                    help="COMPETE mode: drone-drone collisions + opponent "
+                         "poses in the observation")
     args = ap.parse_args()
 
     import jax
@@ -53,11 +60,16 @@ def main():
     from gym_pybullet_adrp_tpu.utils.enums import Physics, RaceMode
 
     config = load_config(args.config)
+    n_drones = args.n_drones
+    racemode = RaceMode.COMPETE if args.compete else RaceMode.COMPARE
+    if n_drones > 1 and not args.rowfast:
+        ap.error("--n_drones > 1 requires --rowfast (self-play path)")
     spec = race_mod.RaceSpec.from_config(
-        config, num_drones=1, racemode=RaceMode.COMPARE, physics=Physics.PYB
+        config, num_drones=n_drones, racemode=racemode, physics=Physics.PYB
     )
-    track = race_mod.track_from_config(config, num_drones=1)
-    cfg = PPOConfig(n_envs=args.n_envs, n_steps=args.n_steps)
+    track = race_mod.track_from_config(config, num_drones=n_drones)
+    # self-play: the PPO batch is every drone of every env
+    cfg = PPOConfig(n_envs=args.n_envs * n_drones, n_steps=args.n_steps)
     end_after = args.end_after_gate
 
     reset1 = lambda key: race_rl.rl_race_reset(spec, track, key)
@@ -73,8 +85,10 @@ def main():
     if args.rowfast:
         from gym_pybullet_adrp_tpu.envs import race_rl_rowfast
 
+        B = args.n_envs
         row_reset, row_step = race_rl_rowfast.make_row_env(
-            spec, track, cfg.n_envs, end_after_gate=end_after
+            spec, track, B, end_after_gate=end_after,
+            per_drone_reward=(n_drones > 1),
         )
 
         def batched_reset(key):
@@ -82,17 +96,29 @@ def main():
             # first obs via one zero-action probe is unnecessary: assemble
             # the kinematic/constant channels directly from the reset rows
             obs = jnp.zeros((cfg.n_envs, spec.obs_size), dtype=jnp.float32)
-            obs = obs.at[:, 0:3].set(
-                st.prev_pos.reshape(3, cfg.n_envs).T
-            )
+            # prev_pos rows are drone-major (3, N*Tb, 128) -> (B*N, 3)
+            # in env-major drone order matching the flattened obs below
+            pos = st.prev_pos.reshape(3, n_drones, B).transpose(2, 1, 0)
+            obs = obs.at[:, 0:3].set(pos.reshape(cfg.n_envs, 3))
             return st, obs
 
-        def step(env_state, action, key):
-            return row_step(env_state, action, key) + ()
+        if n_drones == 1:
+            step_fn = lambda s, a, k: row_step(s, a, k)
+        else:
+            def step_fn(env_state, action, key):
+                # PPO batch = every drone of every env (shared policy)
+                act = action.reshape(B, n_drones, 4)
+                env_state, obs, reward, done = row_step(env_state, act, key)
+                return (
+                    env_state,
+                    obs.reshape(B * n_drones, spec.obs_size),
+                    reward.reshape(B * n_drones),
+                    jnp.repeat(done, n_drones),
+                )
 
         adapter = EnvAdapter(
             batched_reset=batched_reset,
-            step=lambda s, a, k: row_step(s, a, k),
+            step=step_fn,
             obs_dim=spec.obs_size,
             act_dim=4,
         )

@@ -173,3 +173,63 @@ def test_rowfast_compete_drone_collision_eliminates():
             collided = True
             break
     assert collided, "drones never collided/terminated"
+
+
+def test_rowfast_per_drone_reward_selfplay():
+    """per_drone_reward mode: reward (B, N); without sparse events, drone
+    0's shaped reward equals the default (drone-0, reference-semantics)
+    reward; a drone's own elimination contributes exactly -1 on that step."""
+    cfg = load_config("getting_started")
+    N = 2
+    spec = race_mod.RaceSpec.from_config(cfg, N, RaceMode.COMPETE, Physics.PYB)
+    track = race_mod.track_from_config(cfg, N)
+    B = 128
+    reset, step0 = race_rl_rowfast.make_row_env(
+        spec, track, B, interpret=True
+    )
+    _, step_pd = race_rl_rowfast.make_row_env(
+        spec, track, B, interpret=True, per_drone_reward=True
+    )
+    st0 = reset(jax.random.PRNGKey(0))
+    st1 = st0
+    act = jnp.tile(
+        jnp.asarray(
+            [[[0.0, 0.0, 0.4, 0.0], [0.05, 0.0, 0.3, 0.0]]],
+            dtype=jnp.float32,
+        ).reshape(1, N, 4),
+        (B, 1, 1),
+    )
+    for i in range(4):
+        k = jax.random.PRNGKey(100 + i)
+        st0, obs0, rew0, done0 = step0(st0, act, k)
+        st1, obs1, rew1, done1 = step_pd(st1, act, k)
+        assert rew1.shape == (B, N)
+        # no sparse events early on: drone-0 per-drone shaping == default
+        assert not bool(done0.any())
+        np.testing.assert_allclose(
+            np.asarray(rew1[:, 0]), np.asarray(rew0), rtol=0, atol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(done0), np.asarray(done1))
+
+    # ram drone 1 into drone 0: the eliminated drones take a -1 hit
+    init = np.asarray(track.init_pos)
+    d10 = (init[0] - init[1]).astype(np.float32)
+    ram = jnp.tile(
+        jnp.asarray(
+            [[0.0, 0.0, 0.5, 0.0],
+             [np.clip(d10[0], -1, 1), np.clip(d10[1], -1, 1), 0.5, 0.0]],
+            dtype=jnp.float32,
+        ).reshape(1, N, 4),
+        (B, 1, 1),
+    )
+    st = reset(jax.random.PRNGKey(0))
+    for i in range(25):
+        prev_elim = st.eliminated
+        st, obs, rew, done = step_pd(st, ram, jax.random.PRNGKey(i))
+        if bool(done.any()):
+            # both drones newly eliminated -> each reward includes the -1
+            assert float(rew[:, 0].min()) < -0.5
+            assert float(rew[:, 1].min()) < -0.5
+            break
+    else:
+        raise AssertionError("no collision within 25 steps")
