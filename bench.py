@@ -24,13 +24,18 @@ def main():
                     help="force jax platform (e.g. cpu); default: real chip")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument(
-        "--impl", choices=["xla", "pallas", "pallas-rollout"],
+        "--impl", choices=["xla", "pallas", "pallas-rollout", "race"],
         default="pallas-rollout",
         help="pallas-rollout: whole 64-step rollout chunks fused in one "
              "kernel launch (in-kernel PRNG actions + episode logic); "
              "pallas: fused physics kernel per control step; "
-             "xla: reference-faithful path",
+             "xla: reference-faithful path; "
+             "race: flagship 2-drone COMPETE race env on the row-major "
+             "kernel path (each env step = 20 firmware ticks of physics + "
+             "Mellinger + gates/collisions/opponent obs)",
     )
+    ap.add_argument("--drones", type=int, default=2,
+                    help="drone count for --impl race")
     args = ap.parse_args()
 
     import jax
@@ -60,7 +65,43 @@ def main():
     if args.steps is None:
         args.steps = 3840 if args.impl == "pallas-rollout" else 256
 
-    if args.impl == "pallas-rollout":
+    if args.impl == "race":
+        from gym_pybullet_adrp_tpu.envs import race as race_mod
+        from gym_pybullet_adrp_tpu.envs import race_rl_rowfast
+        from gym_pybullet_adrp_tpu.utils.config import load_config
+        from gym_pybullet_adrp_tpu.utils.enums import Physics, RaceMode
+
+        N = args.drones
+        config = load_config("getting_started")
+        spec = race_mod.RaceSpec.from_config(
+            config, N, RaceMode.COMPETE if N > 1 else RaceMode.COMPARE,
+            Physics.PYB,
+        )
+        track = race_mod.track_from_config(config, N)
+        interpret = jax.devices()[0].platform == "cpu"
+        reset, step = race_rl_rowfast.make_row_env(
+            spec, track, args.envs, interpret=interpret
+        )
+        state0 = reset(jax.random.PRNGKey(0))
+        act_shape = (args.envs, N, 4) if N > 1 else (args.envs, 4)
+
+        @jax.jit
+        def fn(key):
+            def body(carry, _):
+                st, k, acc = carry
+                k, ka, ks = jax.random.split(k, 3)
+                a = jax.random.uniform(
+                    ka, act_shape, minval=-1.0, maxval=1.0
+                )
+                st, obs, reward, done = step(st, a, ks)
+                return (st, k, acc + jnp.sum(reward)), None
+
+            (st, _, acc), _ = jax.lax.scan(
+                body, (state0, key[0], jnp.zeros(())), None,
+                length=args.steps,
+            )
+            return acc[None]
+    elif args.impl == "pallas-rollout":
         from gym_pybullet_adrp_tpu.envs import fast_hover
         from gym_pybullet_adrp_tpu.ops import pallas_step
 
@@ -135,7 +176,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "env_steps_per_sec_per_chip_4096envs",
+                "metric": (
+                    f"race{args.drones}_env_steps_per_sec_per_chip_"
+                    f"{args.envs}envs" if args.impl == "race"
+                    else "env_steps_per_sec_per_chip_4096envs"
+                ),
                 "value": round(steps_per_sec, 1),
                 "unit": "env-steps/s",
                 "vs_baseline": round(steps_per_sec / 1e6, 4),
