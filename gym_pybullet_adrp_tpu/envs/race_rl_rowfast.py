@@ -188,16 +188,21 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
             + [z] * 5,                                   # tick..error
             axis=0,
         )
-        return S, px, py, pz, roll, pitch, yaw
+        # the row path is f32-native regardless of the ambient x64 flag
+        f32 = jnp.float32
+        return (S.astype(f32), px.astype(f32), py.astype(f32),
+                pz.astype(f32), roll.astype(f32), pitch.astype(f32),
+                yaw.astype(f32))
 
     def reset(key):
         S, px, py, pz, _, _, _ = reset_rows(key)
-        zz_env = jnp.zeros((Tb, LANE))
-        zz = jnp.zeros((T, LANE))
+        f32 = jnp.float32
+        zz_env = jnp.zeros((Tb, LANE), dtype=f32)
+        zz = jnp.zeros((T, LANE), dtype=f32)
         tgt = jnp.stack(
-            [jnp.full((T, LANE), gates[0, 0]),
-             jnp.full((T, LANE), gates[0, 1]),
-             jnp.full((T, LANE), gates[0, 2])], axis=0,
+            [jnp.full((T, LANE), gates[0, 0], dtype=f32),
+             jnp.full((T, LANE), gates[0, 1], dtype=f32),
+             jnp.full((T, LANE), gates[0, 2], dtype=f32)], axis=0,
         )
         return RowRaceState(
             S=S, current_gate=zz, eliminated=zz, finished=zz,

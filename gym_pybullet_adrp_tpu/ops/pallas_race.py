@@ -461,7 +461,7 @@ def _kernel(state_ref, win_ref, out_ref, *, n_ticks, dt, kf, km, arm,
                 new_err,
             ],
             axis=0,
-        )
+        ).astype(st.dtype)  # keep the carry dtype under ambient x64
 
     out_ref[:] = jax.lax.fori_loop(0, n_ticks, tick_body, st)
 

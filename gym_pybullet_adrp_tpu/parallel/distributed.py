@@ -178,3 +178,44 @@ def rollout_throughput_fn(mesh, rl_cfg, params, init_xyzs, init_rpys,
         check_rep=False,
     )
     return jax.jit(fn)
+
+
+def race_rollout_throughput_fn(mesh, spec, track, n_envs_per_device: int,
+                               n_steps: int, interpret: bool = False):
+    """Sharded flagship-race rollout: the row-major kernel env
+    (envs/race_rl_rowfast.py) stepped independently on every device of the
+    mesh, metrics psum'd over ICI.
+
+    Same DP recipe as :func:`rollout_throughput_fn` — env shards never
+    leave their device; the only cross-chip traffic is the scalar metric
+    reduce. Takes a (n_devices*2,) uint32 key block sharded over ``dp``
+    (2 per device); returns the global per-device reward sums.
+    """
+    from gym_pybullet_adrp_tpu.envs import race_rl_rowfast
+
+    n = spec.num_drones
+    reset, step = race_rl_rowfast.make_row_env(
+        spec, track, n_envs_per_device, interpret=interpret
+    )
+
+    def local(key_block):
+        key = key_block.reshape(2)
+        st = reset(key)
+
+        def body(carry, _):
+            s, k = carry
+            k, ka, ks = jax.random.split(k, 3)
+            shape = (n_envs_per_device, n, 4) if n > 1 \
+                else (n_envs_per_device, 4)
+            a = jax.random.uniform(ka, shape, minval=-1.0, maxval=1.0)
+            s, _, reward, _ = step(s, a, ks)
+            return (s, k), jnp.sum(reward)
+
+        (st, _), rews = jax.lax.scan(body, (st, key), None, length=n_steps)
+        return jax.lax.psum(rews.sum(), AXIS)[None]
+
+    fn = shard_map(
+        local, mesh=mesh, in_specs=(P(AXIS),), out_specs=P(AXIS),
+        check_rep=False,
+    )
+    return jax.jit(fn)
