@@ -4,17 +4,24 @@ The fused race window kernel runs at ~325M env-steps/s, but the general
 pipeline (envs/race_fast.py) spends >99% of its time repacking the RaceState
 pytree every control step and running the ctrl-rate tail as vmapped
 per-env geometry. This module specializes the RL training configurations —
-CF2X drones, FULLSTATE pose-relative actions, PYB physics, no stochastic
-disturbances, no gate/inertia randomization (the twogates / getting_started
-/ level0 training setups), COMPARE or COMPETE mode, any drone count — and
-keeps EVERYTHING in channel-row form `(T, 128)` across steps:
+CF2X drones, FULLSTATE pose-relative actions, PYB physics (the whole
+getting_started / level0-3 / twogates ladder; level1-3's per-tick wind +
+action-noise disturbances are sampled by the kernel's in-chip PRNG),
+COMPARE or COMPETE mode, any drone count, with or without
+gate/obstacle/inertia randomization — and keeps EVERYTHING in channel-row
+form `(T, 128)` across steps:
 
 * the policy action is the only thing transposed in, the obs block the
   only thing transposed out;
 * FULLSTATE command processing degenerates to writing a handful of W rows
   (no commander state survives between steps under a FULLSTATE stream);
 * gate progress / collisions / observation flags / RewardWrapper shaping /
-  autoreset are expressed as row math over the static track geometry.
+  autoreset are expressed as row math over the track geometry — which is
+  itself held as per-env rows, so level2-style per-episode gate/obstacle
+  randomization (reference MultiRaceAviary._addObstacles:359-380) costs
+  nothing extra: the geometry scalars just become (Tb, 128) tensors;
+* per-drone mass/inertia randomization (reference _drone_init:407-432)
+  rides the W rows the kernel already consumes.
 
 Multi-drone layout is **drone-major**: with B envs (multiple of 128) and N
 drones, drone ``d`` of all envs occupies row block ``[d*Tb, (d+1)*Tb)``
@@ -41,7 +48,7 @@ from gym_pybullet_adrp_tpu.utils.constants import (
     GATE_Z_LOW, GATE_Z_TALL, OBSTACLE_HALF_LEN, OBSTACLE_RADIUS, RAD_TO_DEG,
     VISIBILITY_RANGE,
 )
-from gym_pybullet_adrp_tpu.utils.enums import RaceMode
+from gym_pybullet_adrp_tpu.utils.enums import DroneModel, Physics, RaceMode
 
 LANE = pallas_race.LANE
 S_CH = pallas_race.S_CHANNELS
@@ -52,7 +59,7 @@ class RowRaceState(NamedTuple):
     """All-rows training state.
 
     Per-agent leaves are drone-major ``(N*Tb, 128)``; per-env leaves
-    (episode counter, drone-0 RewardWrapper memory) are ``(Tb, 128)``.
+    (episode counter, track geometry) are ``(Tb, 128)``-shaped.
     """
 
     S: jnp.ndarray              # (58, N*Tb, 128) kernel state block
@@ -60,6 +67,12 @@ class RowRaceState(NamedTuple):
     eliminated: jnp.ndarray     # (N*Tb, 128) 0/1
     finished: jnp.ndarray       # (N*Tb, 128) 0/1
     ep_steps: jnp.ndarray       # (Tb, 128) ctrl steps this episode
+    # per-env actual track geometry (== nominal unless randomized)
+    gates_xyyaw: jnp.ndarray    # (G, 3, Tb, 128) actual gate x, y, yaw
+    obst_xy: jnp.ndarray        # (O, 2, Tb, 128) actual obstacle x, y
+    # per-drone randomized inertia (reference _drone_init)
+    mass: jnp.ndarray           # (N*Tb, 128)
+    inertia: jnp.ndarray        # (3, N*Tb, 128)
     # RewardWrapper shaping memory, per drone (reference wrapper.py:80-99;
     # the reference wrapper shapes drone 0 only — rows for every drone make
     # the same shaping available per agent for shared-policy self-play)
@@ -69,10 +82,11 @@ class RowRaceState(NamedTuple):
 
 
 def supports(spec: RaceSpec) -> bool:
+    # unlike race_fast, disturbances are fine: the kernel samples them
+    # with the in-chip PRNG (pallas_race.race_window noise=...)
     return (
-        race_fast.supports(spec)
-        and not spec.random_gates_obstacles
-        and not spec.random_drone_inertia
+        spec.physics == Physics.PYB
+        and spec.drone_model == DroneModel.CF2X
     )
 
 
@@ -105,7 +119,7 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
     reference's subprocess architecture could not express (its README
     states only one agent can be trained at a time).
     """
-    assert supports(spec), "row-fast path: no randomized gates/inertia/dist"
+    assert supports(spec), "row-fast path: PYB physics, CF2X"
     assert n_envs % LANE == 0, f"n_envs must be a multiple of {LANE}"
     N = spec.num_drones
     Tb = n_envs // LANE
@@ -117,13 +131,16 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
     kf, km, arm, ground_z = race_fast._model_scalars(spec)
     from gym_pybullet_adrp_tpu.models.drone import CF2X_LEGACY
 
-    mass = CF2X_LEGACY["mass"]
-    J = CF2X_LEGACY["J"]
+    mass0 = CF2X_LEGACY["mass"]
+    J0 = np.asarray(CF2X_LEGACY["J"])
     init_pos = np.asarray(track.init_pos)[:N]        # (N, 3)
     init_rpy = np.asarray(track.init_rpy)[:N]        # (N, 3)
     rs_pos = np.asarray(spec.rs_pos) if spec.random_drone_state else None
     rs_rot = np.asarray(spec.rs_rot) if spec.random_drone_state else None
+    rand_go = spec.random_gates_obstacles
+    rand_in = spec.random_drone_inertia
     drone_r, half_h = 0.06, 0.0125
+    f32 = jnp.float32
 
     def const_rows(per_drone_vals):
         """(N,) python/np values -> (N*Tb, 1) drone-major row constant."""
@@ -138,13 +155,64 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
     init_pitch = const_rows(init_rpy[:, 1])
     init_yaw = const_rows(init_rpy[:, 2])
 
-    # constant observation blocks (no gate/obstacle randomization here)
-    gate_pose_obs = gates[:, [0, 1, 2, 5]].reshape(-1)        # (4G,)
-    obst_pose_obs = obstacles[:, :3].reshape(-1)              # (3O,)
-
     def _d(x, d):
         """Drone-d row block of an (N*Tb, 128) rowset."""
         return x[d * Tb:(d + 1) * Tb]
+
+    def _env_rows(x):
+        """Per-env (Tb, 128) rows -> per-drone (N*Tb, 128) broadcast."""
+        return jnp.tile(x, (N, 1))
+
+    def reset_track_rows(key):
+        """Actual gate/obstacle geometry + per-drone inertia (per-env rows;
+        reference _addObstacles:359-380 x/y/yaw and x/y offsets,
+        _drone_init:407-432 mass/J offsets from the legacy cf2x base)."""
+        kg, ko, km_, ki = jax.random.split(key, 4)
+        gate_nom = jnp.asarray(
+            gates[:, [0, 1, 5]], dtype=f32
+        )[:, :, None, None]                              # (G, 3, 1, 1)
+        obst_nom = jnp.asarray(
+            obstacles[:, :2], dtype=f32
+        )[:, :, None, None]                              # (O, 2, 1, 1)
+        if rand_go:
+            lo, hi = spec.rg_gates
+            g_off = jax.random.uniform(
+                kg, (G, 3, Tb, LANE), minval=lo, maxval=hi, dtype=f32
+            )
+            lo_o, hi_o = spec.rg_obstacles
+            o_off = jax.random.uniform(
+                ko, (O, 2, Tb, LANE), minval=lo_o, maxval=hi_o, dtype=f32
+            )
+            gates_rows = gate_nom + g_off
+            obst_rows = obst_nom + o_off
+        else:
+            gates_rows = jnp.broadcast_to(gate_nom, (G, 3, Tb, LANE))
+            obst_rows = jnp.broadcast_to(obst_nom, (O, 2, Tb, LANE))
+        if rand_in:
+            m_off = jax.random.uniform(
+                km_, (T, LANE), minval=spec.ri_mass[0],
+                maxval=spec.ri_mass[1], dtype=f32,
+            )
+            lo_j = jnp.asarray(
+                [spec.ri_ixx[0], spec.ri_iyy[0], spec.ri_izz[0]], dtype=f32
+            )[:, None, None]
+            hi_j = jnp.asarray(
+                [spec.ri_ixx[1], spec.ri_iyy[1], spec.ri_izz[1]], dtype=f32
+            )[:, None, None]
+            j_off = (
+                jax.random.uniform(ki, (3, T, LANE), dtype=f32)
+                * (hi_j - lo_j) + lo_j
+            )
+            mass_rows = jnp.clip(mass0 + m_off, 0.0, 100.0)
+            j_rows = jnp.clip(
+                jnp.asarray(J0, dtype=f32)[:, None, None] + j_off, 0.0, 100.0
+            )
+        else:
+            mass_rows = jnp.full((T, LANE), mass0, dtype=f32)
+            j_rows = jnp.broadcast_to(
+                jnp.asarray(J0, dtype=f32)[:, None, None], (3, T, LANE)
+            )
+        return gates_rows, obst_rows, mass_rows, j_rows
 
     def reset_rows(key):
         """Fresh per-agent S rows + reset pose rows (race_reset semantics:
@@ -189,24 +257,31 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
             axis=0,
         )
         # the row path is f32-native regardless of the ambient x64 flag
-        f32 = jnp.float32
         return (S.astype(f32), px.astype(f32), py.astype(f32),
                 pz.astype(f32), roll.astype(f32), pitch.astype(f32),
                 yaw.astype(f32))
 
     def reset(key):
-        S, px, py, pz, _, _, _ = reset_rows(key)
-        f32 = jnp.float32
+        k_state, k_track = jax.random.split(key)
+        S, px, py, pz, _, _, _ = reset_rows(k_state)
+        gates_rows, obst_rows, mass_rows, j_rows = reset_track_rows(k_track)
         zz_env = jnp.zeros((Tb, LANE), dtype=f32)
         zz = jnp.zeros((T, LANE), dtype=f32)
+        # first shaping target: gate 0's actual pose (reference wrapper
+        # initializes from the first obs, which resolves visibility; start
+        # positions sit outside VISIBILITY_RANGE so nominal is what the
+        # wrapper sees — but the progress deltas cancel the constant anyway)
         tgt = jnp.stack(
-            [jnp.full((T, LANE), gates[0, 0], dtype=f32),
-             jnp.full((T, LANE), gates[0, 1], dtype=f32),
+            [_env_rows(gates_rows[0, 0]),
+             _env_rows(gates_rows[0, 1]),
              jnp.full((T, LANE), gates[0, 2], dtype=f32)], axis=0,
         )
         return RowRaceState(
             S=S, current_gate=zz, eliminated=zz, finished=zz,
-            ep_steps=zz_env, shape_gate_id=zz,
+            ep_steps=zz_env,
+            gates_xyyaw=gates_rows, obst_xy=obst_rows,
+            mass=mass_rows, inertia=j_rows,
+            shape_gate_id=zz,
             target_xyz=tgt,
             prev_pos=jnp.stack([px, py, pz], axis=0),
         )
@@ -236,14 +311,18 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
             + [z, z]                  # t_begin, duration
             + [elim]                  # eliminated mask for the kernel
             + [z] * 32                # coeffs unused
-            + [jnp.full_like(px, mass), jnp.full_like(px, J[0]),
-               jnp.full_like(px, J[1]), jnp.full_like(px, J[2])]
+            + [state.mass, state.inertia[0], state.inertia[1],
+               state.inertia[2]]
             + [z]                     # reserved
         )
         return jnp.stack(rows, axis=0)
 
     def row_tail(state: RowRaceState, S):
-        """Gate progress, collisions, obs channels, per-agent — all rows."""
+        """Gate progress, collisions, obs channels, per-agent — all rows.
+
+        Gate/obstacle geometry comes from the state's per-env rows, so the
+        same code serves nominal and randomized (level2) tracks.
+        """
         px, py, pz = S[0], S[1], S[2]
         roll, pitch, yaw = S[21], S[22], S[23]
         vx, vy, vz = S[7], S[8], S[9]
@@ -263,16 +342,24 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
         oy = r10 * wx + r11 * wy + r12 * wz
         oz = r20 * wx + r21 * wy + r22 * wz
 
+        # actual geometry rows broadcast per drone
+        gx_a = [_env_rows(state.gates_xyyaw[g, 0]) for g in range(G)]
+        gy_a = [_env_rows(state.gates_xyyaw[g, 1]) for g in range(G)]
+        gyaw_a = [_env_rows(state.gates_xyyaw[g, 2]) for g in range(G)]
+        gcos = [jnp.cos(v) for v in gyaw_a]
+        gsin = [jnp.sin(v) for v in gyaw_a]
+        ox_a = [_env_rows(state.obst_xy[o, 0]) for o in range(O)]
+        oy_a = [_env_rows(state.obst_xy[o, 1]) for o in range(O)]
+
         # ---- gate progress (ray-fan test for the tracked gate) ------------
         finished = jnp.maximum(
             state.finished, (state.current_gate >= G).astype(px.dtype)
         )
         passed_any = jnp.zeros_like(px)
         for g in range(G):
-            gx, gy, gyaw = gates[g, 0], gates[g, 1], gates[g, 5]
             h = heights[g]
-            c, s = np.cos(gyaw), np.sin(gyaw)
-            relx, rely = px - gx, py - gy
+            c, s = gcos[g], gsin[g]
+            relx, rely = px - gx_a[g], py - gy_a[g]
             along = relx * c + rely * s
             perp = jnp.abs(-relx * s + rely * c)
             dz_lo = (h - GATE_RAY_HALF_LEN) - pz
@@ -292,9 +379,9 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
         # ---- collisions / elimination -------------------------------------
         crash = jnp.zeros_like(px, dtype=bool)
         for g in range(G):
-            gx, gy, gz_, gyaw = gates[g, 0], gates[g, 1], gates[g, 2], gates[g, 5]
-            c, s = np.cos(gyaw), np.sin(gyaw)
-            relx, rely = px - gx, py - gy
+            gz_ = gates[g, 2]
+            c, s = gcos[g], gsin[g]
+            relx, rely = px - gx_a[g], py - gy_a[g]
             along = relx * c + rely * s
             perp = jnp.abs(-relx * s + rely * c)
             dzc = pz - gz_
@@ -316,8 +403,8 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
             )
             crash = crash | horiz | vert | sup
         for o in range(O):
-            ox_, oy_, oz_ = obstacles[o, 0], obstacles[o, 1], obstacles[o, 2]
-            dxy = jnp.sqrt((px - ox_) ** 2 + (py - oy_) ** 2)
+            oz_ = obstacles[o, 2]
+            dxy = jnp.sqrt((px - ox_a[o]) ** 2 + (py - oy_a[o]) ** 2)
             crash = crash | (
                 (dxy < OBSTACLE_RADIUS + drone_r)
                 & (pz - half_h < oz_ + OBSTACLE_HALF_LEN)
@@ -362,9 +449,9 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
         e = GATE_EDGE_HALF_LEN
         hb = GATE_BEAM_HALF
         for g in range(G):
-            gx, gy, gz_, gyaw = gates[g, 0], gates[g, 1], gates[g, 2], gates[g, 5]
-            c, s = np.cos(gyaw), np.sin(gyaw)
-            relx, rely = px - gx, py - gy
+            gz_ = gates[g, 2]
+            c, s = gcos[g], gsin[g]
+            relx, rely = px - gx_a[g], py - gy_a[g]
             along = relx * c + rely * s
             perp = -relx * s + rely * c
             dzc = pz - gz_
@@ -398,24 +485,44 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
             gate_range.append((d < VISIBILITY_RANGE).astype(px.dtype))
         obst_range = []
         for o in range(O):
-            ox_, oy_, oz_ = obstacles[o, 0], obstacles[o, 1], obstacles[o, 2]
-            dxy = jnp.sqrt((px - ox_) ** 2 + (py - oy_) ** 2)
+            oz_ = obstacles[o, 2]
+            dxy = jnp.sqrt((px - ox_a[o]) ** 2 + (py - oy_a[o]) ** 2)
             dz_out = jnp.maximum(
                 jnp.maximum((oz_ - OBSTACLE_HALF_LEN) - pz,
                             pz - (oz_ + OBSTACLE_HALF_LEN)), 0.0)
             d = jnp.sqrt(dxy * dxy + dz_out * dz_out) - OBSTACLE_RADIUS
             obst_range.append((d < VISIBILITY_RANGE).astype(px.dtype))
 
+        # ---- visibility-resolved pose channels (reference compute_obs:
+        #      actual pose when in range, nominal otherwise) ----------------
+        gate_pose_rows = []   # per gate: [x, y, z, yaw] rows, per drone
+        for g in range(G):
+            in_r = gate_range[g] > 0.5
+            gate_pose_rows.append([
+                jnp.where(in_r, gx_a[g], gates[g, 0]),
+                jnp.where(in_r, gy_a[g], gates[g, 1]),
+                jnp.full_like(px, gates[g, 2]),
+                jnp.where(in_r, gyaw_a[g], gates[g, 5]),
+            ])
+        obst_pose_rows = []   # per obstacle: [x, y, z] rows, per drone
+        for o in range(O):
+            in_r = obst_range[o] > 0.5
+            obst_pose_rows.append([
+                jnp.where(in_r, ox_a[o], obstacles[o, 0]),
+                jnp.where(in_r, oy_a[o], obstacles[o, 1]),
+                jnp.full_like(px, obstacles[o, 2]),
+            ])
+
         return (
             current_gate, eliminated, finished,
             (roll, pitch, yaw, vx, vy, vz, ox, oy, oz),
-            gate_range, obst_range,
+            gate_range, obst_range, gate_pose_rows, obst_pose_rows,
         )
 
     def step(state: RowRaceState, action, key):
         """action: (B, 4) when N == 1 else (B, N, 4), in [-1, 1].
 
-        Returns (state, obs, reward (B,), done (B,)) with obs (B, 49) for a
+        Returns (state, obs, reward, done (B,)) with obs (B, 49) for a
         single drone, (B, N, obs_size) otherwise.
         """
         a = jnp.clip(action, -1.0, 1.0) * jnp.asarray([1.0, 1.0, 1.0, np.pi])
@@ -424,14 +531,41 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
         else:
             # (B, N, 4) -> drone-major rows (4, N*Tb, 128)
             action_rows = a.transpose(2, 1, 0).reshape(4, T, LANE)
-        W = build_W(state, action_rows)
+        W = build_W(state, action_rows.astype(f32))
+        if spec.disturbances:
+            key, k_noise = jax.random.split(key)
+            noise = (spec.action_noise_std, spec.dyn_dist_low,
+                     spec.dyn_dist_high)
+            seed, noise_rows = None, None
+            if interpret:
+                # interpret mode cannot lower the in-kernel PRNG: sample
+                # the additive per-tick noise block outside the kernel
+                kw_, ka_ = jax.random.split(k_noise)
+                lo = jnp.asarray(spec.dyn_dist_low, dtype=f32)
+                hi = jnp.asarray(spec.dyn_dist_high, dtype=f32)
+                nt = spec.steps_per_ctrl
+                wind = lo[:, None, None] + jax.random.uniform(
+                    kw_, (nt, 3, T, LANE), dtype=f32
+                ) * (hi - lo)[:, None, None]
+                act_n = jax.random.normal(
+                    ka_, (nt, 4, T, LANE), dtype=f32
+                ) * spec.action_noise_std
+                noise_rows = jnp.concatenate([wind, act_n], axis=1)
+            else:
+                seed = jax.random.randint(
+                    k_noise, (1,), 0, jnp.iinfo(jnp.int32).max,
+                    dtype=jnp.int32,
+                )
+        else:
+            noise, seed, noise_rows = None, None, None
         S = pallas_race.race_window(
             kf, km, arm, ground_z, state.S, W,
             n_ticks=spec.steps_per_ctrl, dt=1.0 / spec.pyb_freq,
-            interpret=interpret,
+            interpret=interpret, noise=noise, seed=seed,
+            noise_rows=noise_rows,
         )
-        (current_gate, eliminated, finished, kin, gate_range, obst_range) = \
-            row_tail(state, S)
+        (current_gate, eliminated, finished, kin, gate_range, obst_range,
+         gate_pose_rows, obst_pose_rows) = row_tail(state, S)
         roll, pitch, yaw, vx, vy, vz, ox, oy, oz = kin
         px, py, pz = S[0], S[1], S[2]
 
@@ -450,6 +584,8 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
         task_completed = finished.reshape(N, Tb, LANE).min(axis=0) > 0.5
 
         # ---- RewardWrapper shaping, per drone rows (reference wrapper.py) -
+        # target gate pose resolves visibility exactly like the obs the
+        # reference wrapper reads (wrapper.py:91-99 reads obs[12:...])
         passed = current_gate > jnp.mod(state.shape_gate_id, G)
         gid = jnp.clip(current_gate, 0, G - 1)
         tx = jnp.zeros_like(px)
@@ -457,9 +593,9 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
         tz = jnp.zeros_like(px)
         for g in range(G):
             m = (gid == g).astype(px.dtype)
-            tx = tx + m * gates[g, 0]
-            ty = ty + m * gates[g, 1]
-            tz = tz + m * gates[g, 2]
+            tx = tx + m * gate_pose_rows[g][0]
+            ty = ty + m * gate_pose_rows[g][1]
+            tz = tz + m * gate_pose_rows[g][2]
         new_tx = jnp.where(passed, tx, state.target_xyz[0])
         new_ty = jnp.where(passed, ty, state.target_xyz[1])
         new_tz = jnp.where(passed, tz, state.target_xyz[2])
@@ -486,11 +622,12 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
             reward = _d(progress, 0) + r_coll + r_lap
 
         # ---- observation channels (per agent) ------------------------------
-        const_rows_g = [jnp.full_like(px, v) for v in gate_pose_obs]
-        obst_rows = [jnp.full_like(px, v) for v in obst_pose_obs]
         obs_list = (
             [px, py, pz, roll, pitch, yaw, vx, vy, vz, ox, oy, oz]
-            + const_rows_g + gate_range + obst_rows + obst_range
+            + [ch for g in range(G) for ch in gate_pose_rows[g]]
+            + gate_range
+            + [ch for o in range(O) for ch in obst_pose_rows[o]]
+            + obst_range
             + [current_gate]
         )
         if compete and N > 1:
@@ -511,7 +648,9 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
         # ---- autoreset ----------------------------------------------------
         done = terminated | truncated            # (Tb, 128) env-level
         done_rows = jnp.tile(done, (N, 1))       # (N*Tb, 128)
-        S_reset, rpx, rpy_, rpz, rroll, rpitch, ryaw = reset_rows(key)
+        k_state, k_track = jax.random.split(key)
+        S_reset, rpx, rpy_, rpz, rroll, rpitch, ryaw = reset_rows(k_state)
+        gates_rows, obst_rows, mass_rows, j_rows = reset_track_rows(k_track)
         d_env = done.astype(px.dtype)
         d_rows = done_rows.astype(px.dtype)
         S = jnp.where(done_rows[None], S_reset, S)
@@ -521,12 +660,18 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
             eliminated=eliminated * (1 - d_rows),
             finished=finished * (1 - d_rows),
             ep_steps=ep_steps * (1 - d_env).astype(ep_steps.dtype),
+            gates_xyyaw=jnp.where(
+                done[None, None], gates_rows, state.gates_xyyaw
+            ),
+            obst_xy=jnp.where(done[None, None], obst_rows, state.obst_xy),
+            mass=jnp.where(done_rows, mass_rows, state.mass),
+            inertia=jnp.where(done_rows[None], j_rows, state.inertia),
             shape_gate_id=new_gate_id * (1 - d_rows),
             target_xyz=jnp.where(
                 done_rows[None],
                 jnp.stack([
-                    jnp.full_like(px, gates[0, 0]),
-                    jnp.full_like(px, gates[0, 1]),
+                    _env_rows(gates_rows[0, 0]),
+                    _env_rows(gates_rows[0, 1]),
                     jnp.full_like(px, gates[0, 2]),
                 ], axis=0),
                 jnp.stack([new_tx, new_ty, new_tz], axis=0),
@@ -537,18 +682,22 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
                 jnp.stack([px, py, pz], axis=0),
             ),
         )
-        # post-done obs = fresh episode's first obs (kin of reset pose)
+        # post-done obs = fresh episode's first obs: kinematics of the reset
+        # pose + nominal gate/obstacle poses (start positions sit outside
+        # VISIBILITY_RANGE of every gate on the shipped tracks)
         obs_rows = jnp.where(done_rows[None], 0.0, obs_rows)
         reset_kin = (rpx, rpy_, rpz, rroll, rpitch, ryaw)
         for i, v in enumerate(reset_kin):
             obs_rows = obs_rows.at[i].set(
                 jnp.where(done_rows, v, obs_rows[i])
             )
-        for i, v in enumerate(gate_pose_obs):
+        gate_pose_nom = gates[:, [0, 1, 2, 5]].reshape(-1)
+        for i, v in enumerate(gate_pose_nom):
             obs_rows = obs_rows.at[12 + i].set(
                 jnp.where(done_rows, v, obs_rows[12 + i])
             )
-        for i, v in enumerate(obst_pose_obs):
+        obst_pose_nom = obstacles[:, :3].reshape(-1)
+        for i, v in enumerate(obst_pose_nom):
             obs_rows = obs_rows.at[12 + 4 * G + G + i].set(
                 jnp.where(done_rows, v, obs_rows[12 + 4 * G + G + i])
             )

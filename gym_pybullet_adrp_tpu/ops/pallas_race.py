@@ -8,12 +8,13 @@ setpoint evaluation — with all controller state VMEM-resident in
 channel-major layout. The XLA race path (envs/race.py) runs the same math
 as ~hundreds of small fusions per tick.
 
-Scope: Physics.PYB, CF2X, no stochastic disturbances (the getting_started /
-COMPARE and COMPETE evaluation configurations; disturbance sampling needs
-in-kernel PRNG and stays on the XLA path for now). Agents (env x drone)
-flatten onto the lane axis; per-agent mass/inertia (race randomization) ride
-as input channels. Equivalence with the XLA path is asserted in
-tests/test_pallas_race.py (interpret mode).
+Scope: Physics.PYB, CF2X. Stochastic disturbances (the level1-3 configs'
+per-tick wind force + thrust-space action noise, reference
+MultiRaceAviary._apply_physics:532-544 and MellingerControl:202-253) are
+sampled with the in-kernel TPU PRNG when ``noise`` is passed. Agents
+(env x drone) flatten onto the lane axis; per-agent mass/inertia (race
+randomization) ride as input channels. Equivalence with the XLA path is
+asserted in tests/test_pallas_race.py (interpret mode).
 
 Channel maps (S = state, W = window-static):
 
@@ -104,10 +105,35 @@ def _rot_cols_from_rpy(r, p, y):
     return c0, c1, c2
 
 
-def _kernel(state_ref, win_ref, out_ref, *, n_ticks, dt, kf, km, arm,
-            ground_z, col_h_half):
+def _kernel(*refs, n_ticks, dt, kf, km, arm, ground_z, col_h_half,
+            noise=None, noise_rows=False):
+    """``noise``: (act_std, wind_lo, wind_hi) enables per-tick disturbances.
+    Two sampling modes: in-kernel TPU PRNG (compiled path; ``seed_ref``
+    leads the refs) or a precomputed additive-noise input block
+    (``noise_rows=True``; interpret-mode tests — the HLO interpreter has no
+    pltpu.prng_* lowering)."""
+    noise_blk = None
+    if noise is not None and noise_rows:
+        state_ref, win_ref, noise_ref, out_ref = refs
+        noise_blk = noise_ref[:]          # (n_ticks, 7, T, 128) additive
+    elif noise is not None:
+        seed_ref, state_ref, win_ref, out_ref = refs
+        pltpu.prng_seed(seed_ref[0])
+        act_std, wind_lo, wind_hi = noise
+    else:
+        state_ref, win_ref, out_ref = refs
     st = state_ref[:]
     w = win_ref[:]
+    row_shape = st.shape[1:]  # (T, 128)
+
+    def _u01(nch):
+        """nch rows of uniform [0, 1) floats from raw PRNG bits."""
+        bits = pltpu.prng_random_bits((nch,) + row_shape)
+        u = pltpu.bitcast(
+            (pltpu.bitcast(bits, jnp.uint32) >> 9) | jnp.uint32(0x3F800000),
+            jnp.float32,
+        )  # [1, 2)
+        return u - 1.0
 
     sp_pos = (w[0], w[1], w[2])
     sp_vel = (w[3], w[4], w[5])
@@ -146,7 +172,7 @@ def _kernel(state_ref, win_ref, out_ref, *, n_ticks, dt, kf, km, arm,
             outs.append((pv, dv / safe_T, av / (safe_T * safe_T)))
         return outs  # [(p, v, a)] x 4 channels
 
-    def tick_body(_, st):
+    def tick_body(i, st):
         px, py, pz = st[0], st[1], st[2]
         qx, qy, qz, qw = st[3], st[4], st[5], st[6]
         vx, vy, vz = st[7], st[8], st[9]
@@ -163,6 +189,18 @@ def _kernel(state_ref, win_ref, out_ref, *, n_ticks, dt, kf, km, arm,
         fx = 2.0 * (qx * qz + qy * qw) * thrust
         fy = 2.0 * (qy * qz - qx * qw) * thrust
         fz = (1.0 - 2.0 * (qx * qx + qy * qy)) * thrust
+        if noise_blk is not None:
+            tick_noise = noise_blk[i]     # (7, T, 128) additive values
+            fx = fx + tick_noise[0]
+            fy = fy + tick_noise[1]
+            fz = fz + tick_noise[2]
+        elif noise is not None:
+            # wind disturbance force, uniform per tick per agent (reference
+            # _apply_physics:532-544 via dynamics.pyb_substep ext_force_world)
+            uw = _u01(3)
+            fx = fx + (wind_lo[0] + uw[0] * (wind_hi[0] - wind_lo[0]))
+            fy = fy + (wind_lo[1] + uw[1] * (wind_hi[1] - wind_lo[1]))
+            fz = fz + (wind_lo[2] + uw[2] * (wind_hi[2] - wind_lo[2]))
         vx = vx + dt * fx / mass
         vy = vy + dt * fy / mass
         vz = vz + dt * (fz / mass - 9.8)
@@ -429,6 +467,19 @@ def _kernel(state_ref, win_ref, out_ref, *, n_ticks, dt, kf, km, arm,
             cl = jnp.clip(v, 20000.0, 65535.0)
             rpms_out.append(0.2685 * cl + 4070.3)
         thr = [kf * r * r for r in rpms_out][::-1]
+        if noise_blk is not None:
+            for m in range(4):
+                thr[m] = thr[m] + tick_noise[3 + m]
+        elif noise is not None:
+            # thrust-space action noise, N(0, act_std) per motor per tick
+            # (reference MellingerControl:202-253; Box-Muller from PRNG bits)
+            un = _u01(8)
+            for m in range(4):
+                r_bm = jnp.sqrt(
+                    -2.0 * jnp.log(jnp.maximum(un[m], 1e-12))
+                )
+                z = r_bm * jnp.cos((2.0 * np.pi) * un[4 + m])
+                thr[m] = thr[m] + act_std * z
         new_rpm = []
         for t_m in thr:
             mp = (jnp.sqrt(jnp.maximum(t_m, 0.0) / kf) - 4070.3) / 0.2685
@@ -468,20 +519,45 @@ def _kernel(state_ref, win_ref, out_ref, *, n_ticks, dt, kf, km, arm,
 
 def race_window(kf, km, arm, ground_z, state_block, window_block,
                 n_ticks: int = 20, dt: float = 1.0 / 500.0,
-                interpret: bool = False):
+                interpret: bool = False, noise=None, seed=None,
+                noise_rows=None):
     """Run one control step's firmware window. Blocks are channel-major
-    (S/W, T, 128) float32."""
+    (S/W, T, 128) float32.
+
+    ``noise``: optional (act_std, wind_lo(3,), wind_hi(3,)) static floats
+    enabling per-tick stochastic disturbances; ``seed`` (int32 scalar or
+    (1,) array, may be traced) seeds the in-kernel PRNG per launch.
+    ``noise_rows``: optional precomputed (n_ticks, 7, T, 128) additive
+    noise block (wind force xyz + per-motor thrust noise) used instead of
+    the in-kernel PRNG — required under ``interpret`` (the HLO interpreter
+    cannot lower pltpu.prng_*).
+    """
+    if noise is not None:
+        noise = (
+            float(noise[0]),
+            tuple(float(v) for v in noise[1]),
+            tuple(float(v) for v in noise[2]),
+        )
     kernel = partial(
         _kernel, n_ticks=n_ticks, dt=float(dt), kf=float(kf), km=float(km),
         arm=float(arm), ground_z=float(ground_z), col_h_half=0.0125,
+        noise=noise, noise_rows=noise_rows is not None,
     )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    args = (state_block, window_block)
+    if noise is not None and noise_rows is not None:
+        in_specs = in_specs + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        args = args + (noise_rows,)
+    elif noise is not None:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        args = (jnp.asarray(seed, dtype=jnp.int32).reshape(1),) + args
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(state_block.shape, state_block.dtype),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(state_block, window_block)
+    )(*args)

@@ -35,7 +35,8 @@ def main():
                          "kernel (envs/race_fast.py)")
     ap.add_argument("--rowfast", action="store_true",
                     help="fully row-major env path (envs/race_rl_rowfast.py;"
-                         " fastest, non-randomized-track configs)")
+                         " fastest; whole level0-3 ladder incl. randomized "
+                         "tracks and in-kernel PRNG disturbances)")
     ap.add_argument("--n_drones", type=int, default=1,
                     help="with --rowfast and >1: shared-policy self-play — "
                          "every drone acts and learns from its own shaped "

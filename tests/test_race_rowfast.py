@@ -1,5 +1,7 @@
 """Row-major race RL path vs the general shaped path (interpret mode)."""
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -54,7 +56,7 @@ def test_rowfast_matches_general_path():
 def test_rowfast_support_predicate():
     cfg = load_config("level2")
     spec2 = race_mod.RaceSpec.from_config(cfg, 1, RaceMode.COMPARE, Physics.PYB)
-    assert not race_rl_rowfast.supports(spec2)  # gate randomization
+    assert race_rl_rowfast.supports(spec2)  # randomized gates/inertia: rows
     cfg0 = load_config("twogates")
     spec0 = race_mod.RaceSpec.from_config(cfg0, 1, RaceMode.COMPARE, Physics.PYB)
     assert race_rl_rowfast.supports(spec0)
@@ -62,7 +64,103 @@ def test_rowfast_support_predicate():
     assert race_rl_rowfast.supports(specC)  # multi-drone COMPETE row path
     cfg1 = load_config("level1")
     spec1 = race_mod.RaceSpec.from_config(cfg1, 1, RaceMode.COMPARE, Physics.PYB)
-    assert not race_rl_rowfast.supports(spec1)  # disturbances
+    assert race_rl_rowfast.supports(spec1)  # in-kernel PRNG disturbances
+    spec_dyn = race_mod.RaceSpec.from_config(
+        cfg1, 1, RaceMode.COMPARE, Physics.DYN
+    )
+    assert not race_rl_rowfast.supports(spec_dyn)  # kernel is PYB-only
+
+
+def test_rowfast_disturbances():
+    """level1 disturbances on the row path: same key -> bitwise identical,
+    different keys -> different trajectories, and the noise magnitude is
+    commensurate with the configured wind bounds (not blowing up)."""
+    cfg = load_config("level1")
+    spec = race_mod.RaceSpec.from_config(cfg, 1, RaceMode.COMPARE, Physics.PYB)
+    track = race_mod.track_from_config(cfg, 1)
+    assert spec.disturbances
+    B = 128
+    reset, step = race_rl_rowfast.make_row_env(spec, track, B, interpret=True)
+    st0 = reset(jax.random.PRNGKey(0))
+    act = jnp.tile(jnp.asarray([[0.0, 0.0, 0.5, 0.0]], dtype=jnp.float32),
+                   (B, 1))
+    stA, obsA, _, _ = step(st0, act, jax.random.PRNGKey(1))
+    stA2, obsA2, _, _ = step(st0, act, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(stA.S), np.asarray(stA2.S))
+    stB, obsB, _, _ = step(st0, act, jax.random.PRNGKey(2))
+    dpos = np.abs(np.asarray(obsA[:, 0:3]) - np.asarray(obsB[:, 0:3]))
+    assert dpos.max() > 0.0  # noise actually entered the dynamics
+    assert dpos.max() < 0.1  # one 40 ms window of bounded wind stays small
+
+    # noise-free spec from the same track: trajectories must differ
+    spec_nf = dataclasses.replace(spec, disturbances=False)
+    reset_nf, step_nf = race_rl_rowfast.make_row_env(
+        spec_nf, track, B, interpret=True
+    )
+    st0_nf = reset_nf(jax.random.PRNGKey(0))
+    stC, obsC, _, _ = step_nf(st0_nf, act, jax.random.PRNGKey(1))
+    assert np.abs(np.asarray(obsA[:, 0:3]) - np.asarray(obsC[:, 0:3])).max() > 0.0
+
+
+def test_rowfast_level2_randomization():
+    """level2 (randomized gates/obstacles/inertia/start) on the row path:
+    geometry rows stay within the config's offset bounds, obs switch from
+    nominal to actual pose as the drone approaches the tracked gate, and
+    episodes vary across autoresets while staying seed-deterministic."""
+    cfg = load_config("level2")
+    spec = race_mod.RaceSpec.from_config(cfg, 1, RaceMode.COMPARE, Physics.PYB)
+    track = race_mod.track_from_config(cfg, 1)
+    assert spec.random_gates_obstacles and spec.random_drone_inertia
+    B = 128
+    reset, step = race_rl_rowfast.make_row_env(spec, track, B, interpret=True)
+    st = reset(jax.random.PRNGKey(3))
+    gates = np.asarray(track.gates_nominal)
+
+    # geometry rows within bounds and actually varying across envs
+    gx = np.asarray(st.gates_xyyaw[:, 0])  # (G, Tb, 128)
+    for g in range(spec.num_gates):
+        off = gx[g] - gates[g, 0]
+        assert off.min() >= spec.rg_gates[0] - 1e-6
+        assert off.max() <= spec.rg_gates[1] + 1e-6
+    assert float(gx[0].std()) > 0.01  # not degenerate
+    mass = np.asarray(st.mass)
+    assert mass.std() > 1e-4
+    assert abs(float(mass.mean()) - 0.027) < 0.01
+
+    # determinism: same key -> identical reset rows
+    st2 = reset(jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(np.asarray(st.S), np.asarray(st2.S))
+    np.testing.assert_array_equal(
+        np.asarray(st.gates_xyyaw), np.asarray(st2.gates_xyyaw)
+    )
+
+    # obs: far from gate 0 -> nominal pose; flying toward it -> actual
+    act = jnp.tile(jnp.asarray([[0.0, 0.0, 0.8, 0.0]], dtype=jnp.float32),
+                   (B, 1))
+    st_, obs, rew, done = step(st, act, jax.random.PRNGKey(10))
+    np.testing.assert_allclose(
+        np.asarray(obs[:, 12]), gates[0, 0], rtol=0, atol=1e-6
+    )  # out of range: nominal x
+    # steer at the actual gate-0 position of each env
+    for i in range(40):
+        tgt_x = st_.gates_xyyaw[0, 0].reshape(B)
+        tgt_y = st_.gates_xyyaw[0, 1].reshape(B)
+        pos = obs[:, 0:3]
+        dx = jnp.clip(tgt_x - pos[:, 0], -1, 1)
+        dy = jnp.clip(tgt_y - pos[:, 1], -1, 1)
+        dz = jnp.clip(1.0 - pos[:, 2], -1, 1)
+        act = jnp.stack([dx, dy, dz, jnp.zeros(B)], axis=1)
+        st_, obs, rew, done = step(st_, act, jax.random.PRNGKey(20 + i))
+        in_range = np.asarray(obs[:, 28]) > 0.5  # gate-0 visibility flag
+        if in_range.any():
+            actual_x = np.asarray(st_.gates_xyyaw[0, 0].reshape(B))
+            np.testing.assert_allclose(
+                np.asarray(obs[in_range, 12]), actual_x[in_range],
+                rtol=0, atol=1e-6,
+            )
+            break
+    else:
+        raise AssertionError("never got within visibility range of gate 0")
 
 
 def test_rowfast_compete_matches_fast_path(monkeypatch):
