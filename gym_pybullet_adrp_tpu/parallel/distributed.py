@@ -36,6 +36,7 @@ from gym_pybullet_adrp_tpu.models.drone import DroneParams
 from gym_pybullet_adrp_tpu.rl import ppo
 
 AXIS = "dp"
+TP_AXIS = "tp"
 
 
 def make_mesh(n_devices=None, devices=None) -> Mesh:
@@ -49,6 +50,21 @@ def make_mesh(n_devices=None, devices=None) -> Mesh:
             )
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (AXIS,))
+
+
+def make_mesh_2d(n_dp: int, n_tp: int, devices=None) -> Mesh:
+    """('dp', 'tp') mesh: env batch over dp, learner hidden dims over tp."""
+    if devices is None:
+        devices = jax.devices()
+    need = n_dp * n_tp
+    if len(devices) < need:
+        raise ValueError(
+            f"need {need} devices, have {len(devices)} "
+            f"({devices[0].platform})"
+        )
+    return Mesh(
+        np.array(devices[:need]).reshape(n_dp, n_tp), (AXIS, TP_AXIS)
+    )
 
 
 def make_distributed_ppo(
@@ -132,6 +148,104 @@ def make_distributed_ppo(
         check_rep=False,
     )
     return global_init, jax.jit(sharded_step)
+
+
+# ---------------------------------------------------------------------------
+# learner-side tensor parallelism (pjit sharding annotations)
+#
+# SURVEY §2.2 closes its parallelism mapping with "optional learner-side TP
+# via pjit sharding annotations". The reference has no model parallelism of
+# any kind (its policies are 2-layer SB3 MLPs); here the capability exists as
+# the standard JAX recipe: annotate the parameter shardings over a ('dp',
+# 'tp') mesh and let XLA's SPMD partitioner insert the collectives. The
+# ActorCritic towers shard Megatron-style — first Dense column-parallel
+# (output features over 'tp'), second Dense row-parallel (contraction over
+# 'tp', XLA inserts the psum) — and the Gaussian/value heads stay replicated.
+# PP / SP / EP have no substrate in this workload (no pipeline-depth model,
+# no token sequences, no experts — SURVEY §2.2, §5 "long-context: N/A").
+
+
+def actor_critic_tp_specs(tree, n_hidden: int = 2):
+    """PartitionSpec tree for an ActorCritic param (or optax state) pytree.
+
+    Works on anything whose paths contain the flax ``Dense_<i>`` module names
+    (so the same function annotates adam's mu/nu). Tower layout per
+    models/policy.ActorCritic: each tower is ``n_hidden`` Dense layers + one
+    head, pi tower first. Hidden layers alternate column/row parallel; heads
+    and everything else (biases of row layers, log_std, step counts) stay
+    replicated.
+    """
+    per_tower = n_hidden + 1
+
+    def spec_for(path, leaf):
+        dense = None
+        for k in path:
+            key = getattr(k, "key", None)
+            if isinstance(key, str) and key.startswith("Dense_"):
+                dense = int(key.split("_")[1])
+        if dense is None or leaf.ndim == 0:
+            return P()
+        j = dense % per_tower
+        if j == n_hidden:  # head: replicated
+            return P()
+        if j % 2 == 0:  # column-parallel: out features sharded
+            return P(None, TP_AXIS) if leaf.ndim == 2 else P(TP_AXIS)
+        # row-parallel: contraction dim sharded, output replicated
+        return P(TP_AXIS, None) if leaf.ndim == 2 else P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, tree)
+
+
+def make_pjit_ppo(
+    mesh: Mesh,
+    cfg: ppo.PPOConfig,
+    rl_cfg: rlenv.RLConfig,
+    params: DroneParams,
+    init_xyzs,
+    init_rpys,
+    dtype=jnp.float32,
+):
+    """Build (init, train_step) jitted over a ('dp', 'tp') mesh.
+
+    Unlike :func:`make_distributed_ppo` (shard_map, explicit pmean), this is
+    the compiler-driven path: one logical single-program train step, env
+    batch constrained to P('dp'), ActorCritic hidden dims to P(None, 'tp'),
+    XLA SPMD inserts the gradient all-reduce over 'dp' and the activation
+    psum over 'tp'. ``cfg.n_envs`` is the GLOBAL env count (must divide the
+    'dp' extent). Semantics are bitwise those of the single-device step —
+    the mesh only changes the partitioning.
+    """
+    from jax.sharding import NamedSharding
+
+    n_dp = mesh.shape[AXIS]
+    if cfg.n_envs % n_dp:
+        raise ValueError(f"n_envs={cfg.n_envs} not divisible by dp={n_dp}")
+    init_fn, train_step, _ = ppo.make_ppo(
+        cfg, rl_cfg, params, init_xyzs, init_rpys, dtype=dtype
+    )
+
+    ts_shape = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
+    is_spec = lambda x: isinstance(x, P)
+    batched = lambda tree: jax.tree_util.tree_map(lambda _: P(AXIS), tree)
+    specs = ppo.TrainState(
+        params=actor_critic_tp_specs(ts_shape.params),
+        opt_state=actor_critic_tp_specs(ts_shape.opt_state),
+        env_state=batched(ts_shape.env_state),
+        last_obs=P(AXIS),
+        rng=P(),
+        ep_return=P(AXIS),
+        ep_len=P(AXIS),
+    )
+    sh = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), specs, is_leaf=is_spec
+    )
+    metric_sh = {
+        k: NamedSharding(mesh, P())
+        for k in ("loss", "mean_episode_return", "mean_reward", "steps")
+    }
+    init = jax.jit(init_fn, out_shardings=sh)
+    step = jax.jit(train_step, in_shardings=(sh,), out_shardings=(sh, metric_sh))
+    return init, step
 
 
 def rollout_throughput_fn(mesh, rl_cfg, params, init_xyzs, init_rpys,

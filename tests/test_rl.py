@@ -128,3 +128,40 @@ def test_distributed_matches_multi_device():
     assert np.isfinite(float(metrics["loss"]))
     # env batch is globally sharded: 8 devices x 4 envs
     assert ts.last_obs.shape[0] == 32
+
+
+def test_pjit_tp_matches_single_device():
+    """DP x TP pjit train step (4x2 mesh, Megatron-sharded ActorCritic)
+    computes the same update as the unsharded single-device step."""
+    from gym_pybullet_adrp_tpu.parallel.distributed import (
+        make_mesh_2d, make_pjit_ppo,
+    )
+
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh_2d(4, 2)
+    rl_cfg = _cfg()
+    cfg = PPOConfig(n_envs=8, n_steps=8, n_epochs=2, n_minibatches=2)
+    init, step = make_pjit_ppo(
+        mesh, cfg, rl_cfg, PARAMS, INIT_XYZS, INIT_RPYS
+    )
+    ref_init, ref_step, _ = make_ppo(cfg, rl_cfg, PARAMS, INIT_XYZS, INIT_RPYS)
+
+    ts = init(jax.random.PRNGKey(3))
+    ref_ts = jax.jit(ref_init)(jax.random.PRNGKey(3))
+    for _ in range(2):
+        ts, metrics = step(ts)
+        ref_ts, ref_metrics = jax.jit(ref_step)(ref_ts)
+
+    assert np.isfinite(float(metrics["loss"]))
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-4
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6
+        ),
+        ts.params, ref_ts.params,
+    )
+    # the hidden dims really are sharded over 'tp'
+    k0 = ts.params["params"]["Dense_0"]["kernel"]
+    assert "tp" in str(k0.sharding.spec)
