@@ -189,22 +189,29 @@ def make_ppo_core(cfg: PPOConfig, adapter: EnvAdapter, dtype=jnp.float32,
         params, opt_state, rng, traj, advantages, returns = carry
         rng, k = jax.random.split(rng)
         batch_size = cfg.batch_size
-        perm = jax.random.permutation(k, batch_size)
-
-        flat = jax.tree_util.tree_map(
-            lambda x: x.reshape((batch_size,) + x.shape[2:]), traj
-        )
-        adv_flat = advantages.reshape(batch_size)
-        ret_flat = returns.reshape(batch_size)
-
         mb = batch_size // cfg.n_minibatches
-        perm = perm[: mb * cfg.n_minibatches].reshape(cfg.n_minibatches, mb)
+        take = jax.random.permutation(k, batch_size)[: mb * cfg.n_minibatches]
 
-        def minibatch_step(carry, idx):
+        # permute the whole batch ONCE and scan over contiguous minibatch
+        # slices: same minibatch membership/order as per-minibatch index
+        # gathers (1 gather instead of n_minibatches; XLA generates
+        # equivalent code either way — kept for the smaller HLO)
+        shuffle = lambda x: x.reshape((batch_size,) + x.shape[2:])[take] \
+            .reshape((cfg.n_minibatches, mb) + x.shape[2:])
+        # only the fields the surrogate loss reads (value/reward/done are
+        # already folded into advantages/returns by GAE)
+        mb_traj = Transition(
+            obs=shuffle(traj.obs), action=shuffle(traj.action),
+            logp=shuffle(traj.logp), value=None, reward=None, done=None,
+        )
+        mb_adv = shuffle(advantages)
+        mb_ret = shuffle(returns)
+
+        def minibatch_step(carry, xs):
             params, opt_state = carry
-            batch = jax.tree_util.tree_map(lambda x: x[idx], flat)
+            batch, adv, ret = xs
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, batch, adv_flat[idx], ret_flat[idx]
+                params, batch, adv, ret
             )
             if axis_name is not None:
                 grads = jax.lax.pmean(grads, axis_name=axis_name)
@@ -213,7 +220,7 @@ def make_ppo_core(cfg: PPOConfig, adapter: EnvAdapter, dtype=jnp.float32,
             return (params, opt_state), loss
 
         (params, opt_state), losses = jax.lax.scan(
-            minibatch_step, (params, opt_state), perm
+            minibatch_step, (params, opt_state), (mb_traj, mb_adv, mb_ret)
         )
         return (params, opt_state, rng, traj, advantages, returns), losses
 
