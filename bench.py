@@ -12,6 +12,7 @@ import argparse
 import json
 import sys
 import time
+from functools import partial
 
 
 def main():
@@ -22,7 +23,9 @@ def main():
                          "256 otherwise)")
     ap.add_argument("--platform", type=str, default=None,
                     help="force jax platform (e.g. cpu); default: real chip")
-    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--repeats", type=int, default=8,
+                    help="calls per timed batch (dispatched back-to-back, "
+                         "blocked once: sustained device throughput)")
     ap.add_argument(
         "--impl", choices=["xla", "pallas", "pallas-rollout", "race"],
         default="pallas-rollout",
@@ -85,8 +88,12 @@ def main():
         state0 = reset(jax.random.PRNGKey(0))
         act_shape = (args.envs, N, 4) if N > 1 else (args.envs, 4)
 
+        # NOTE: the initial state must be an ARGUMENT, not a closed-over
+        # constant — baking a multi-MB pytree into the executable as
+        # constants costs ~30 ms of re-materialization per call (measured),
+        # which understates throughput 2-3x at these step counts.
         @jax.jit
-        def fn(key):
+        def fn(key, state0):
             def body(carry, _):
                 st, k, acc = carry
                 k, ka, ks = jax.random.split(k, 3)
@@ -101,6 +108,8 @@ def main():
                 length=args.steps,
             )
             return acc[None]
+
+        fn = partial(fn, state0=state0)
     elif args.impl == "pallas-rollout":
         from gym_pybullet_adrp_tpu.envs import fast_hover
         from gym_pybullet_adrp_tpu.ops import pallas_step
@@ -113,7 +122,7 @@ def main():
         )
 
         @jax.jit
-        def fn(key):
+        def fn(key, packed0):
             seed = key[0, 0].astype(jnp.int32)
 
             def body(carry, i):
@@ -124,9 +133,11 @@ def main():
                 return (p, total + jnp.sum(acc)), None
 
             (p, total), _ = jax.lax.scan(
-                body, (state0.packed, jnp.zeros(())), jnp.arange(n_chunks)
+                body, (packed0, jnp.zeros(())), jnp.arange(n_chunks)
             )
             return total[None]
+
+        fn = partial(fn, packed0=state0.packed)
     elif args.impl == "pallas":
         from gym_pybullet_adrp_tpu.envs import fast_hover
 
@@ -139,7 +150,7 @@ def main():
         T = args.envs // fast_hover.LANE
 
         @jax.jit
-        def fn(key):
+        def fn(key, state0):
             def body(carry, _):
                 st, k, acc = carry
                 k, ka = jax.random.split(k)
@@ -154,6 +165,8 @@ def main():
                 length=args.steps,
             )
             return acc[None]
+
+        fn = partial(fn, state0=state0)
     else:
         mesh = make_mesh(1)
         fn = rollout_throughput_fn(
@@ -165,11 +178,16 @@ def main():
     # compile + warmup
     jax.block_until_ready(fn(key))
 
+    # sustained throughput: dispatch `repeats` independent calls
+    # back-to-back and block once — the device executes them contiguously,
+    # so host/tunnel round-trip latency (~20 ms/call through the remote-TPU
+    # tunnel) isn't charged to every call
     best = float("inf")
-    for _ in range(args.repeats):
+    for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(key))
-        best = min(best, time.perf_counter() - t0)
+        outs = [fn(key) for _ in range(args.repeats)]
+        jax.block_until_ready(outs)
+        best = min(best, (time.perf_counter() - t0) / args.repeats)
 
     env_steps = args.envs * args.steps
     steps_per_sec = env_steps / best
