@@ -40,6 +40,7 @@ def run(
     record_video=DEFAULT_RECORD_VIDEO,
     local=True,
     act=DEFAULT_ACT,
+    obs=DEFAULT_OBS,
     n_envs=512,
     max_iters=2000,
 ):
@@ -52,7 +53,9 @@ def run(
     from gym_pybullet_adrp_tpu.envs import rl as rlenv
     from gym_pybullet_adrp_tpu.envs.core import AviaryConfig
     from gym_pybullet_adrp_tpu.models.drone import drone_params
-    from gym_pybullet_adrp_tpu.rl.ppo import PPOConfig, make_ppo
+    from gym_pybullet_adrp_tpu.rl.ppo import (
+        PPOConfig, make_ppo, make_ppo_core, rgb_hover_adapter,
+    )
     from gym_pybullet_adrp_tpu.utils.enums import ActionType, DroneModel
     from gym_pybullet_adrp_tpu.utils.logger import Logger
 
@@ -88,9 +91,28 @@ def run(
             n_envs=n_envs, n_steps=64, n_minibatches=8,
             total_updates=cfg.updates_for_iters(max_iters),
         )
-    init_fn, train_step, eval_fn = make_ppo(
-        cfg, rl_cfg, params, init_xyzs, init_rpys
-    )
+    if obs == "rgb":
+        # pixels-to-actions: drone-POV frames rendered in-graph
+        # (reference learn.py's obs='rgb' mode, but fully on-device —
+        # rlenv.compute_rgb_obs + a CnnPolicy-style conv actor-critic)
+        from gym_pybullet_adrp_tpu.models.policy import CnnActorCritic
+
+        img_w, img_h = 32, 24
+        adapter = rgb_hover_adapter(
+            cfg, rl_cfg, params, init_xyzs, init_rpys,
+            width=img_w, height=img_h,
+        )
+        network = CnnActorCritic(
+            act_dim=adapter.act_dim, img_h=img_h, img_w=img_w
+        )
+        init_fn, train_step, eval_core = make_ppo_core(
+            cfg, adapter, network=network
+        )
+        eval_fn = lambda p, rng, n: eval_core(p, rng, n)[:1]
+    else:
+        init_fn, train_step, eval_fn = make_ppo(
+            cfg, rl_cfg, params, init_xyzs, init_rpys
+        )
     ts = init_fn(jax.random.PRNGKey(0))
     train_jit = jax.jit(train_step)
     eval_jit = jax.jit(lambda p: eval_fn(p, None, 8 * 30 + 2))
@@ -131,44 +153,61 @@ def run(
     # replay with logging (reference learn.py:148-188)
     from gym_pybullet_adrp_tpu.envs import HoverAviary, MultiHoverAviary
     from gym_pybullet_adrp_tpu.models.policy import ActorCritic
+    from gym_pybullet_adrp_tpu.utils.enums import ObservationType
 
+    obs_type = ObservationType.RGB if obs == "rgb" else ObservationType.KIN
     if multiagent:
         test_env = MultiHoverAviary(
-            num_drones=DEFAULT_AGENTS, act=act_type, gui=gui, record=record_video
+            num_drones=DEFAULT_AGENTS, act=act_type, obs=obs_type, gui=gui,
+            record=record_video,
         )
     else:
-        test_env = HoverAviary(act=act_type, gui=gui, record=record_video)
+        test_env = HoverAviary(
+            act=act_type, obs=obs_type, gui=gui, record=record_video
+        )
     logger = Logger(
         logging_freq_hz=int(test_env.CTRL_FREQ),
         num_drones=num_drones,
         output_folder=output_folder,
         colab=colab,
     )
-    network = ActorCritic(act_dim=num_drones * rl_cfg.act_size)
+    if obs == "rgb":
+        # match the training camera resolution; the Gym env emits uint8
+        # frames where the in-graph adapter emits [0, 1] floats
+        test_env.IMG_RES = np.array([img_w, img_h])
+        network = CnnActorCritic(
+            act_dim=num_drones * rl_cfg.act_size, img_h=img_h, img_w=img_w
+        )
+        to_net = lambda o: np.asarray(o, dtype=np.float32)[
+            ..., :3].reshape(1, -1) / 255.0
+    else:
+        network = ActorCritic(act_dim=num_drones * rl_cfg.act_size)
+        to_net = lambda o: o.reshape(1, -1)
     apply = jax.jit(network.apply)
-    obs, info = test_env.reset(seed=42, options={})
+    obs_, info = test_env.reset(seed=42, options={})
     start = time.time()
     for i in range((test_env.EPISODE_LEN_SEC + 2) * test_env.CTRL_FREQ):
-        mean, _, _ = apply(best_params, jnp.asarray(obs.reshape(1, -1)))
+        mean, _, _ = apply(best_params, jnp.asarray(to_net(obs_)))
         action = np.clip(np.asarray(mean), -1, 1).reshape(
             num_drones, rl_cfg.act_size
         )
-        obs, reward, terminated, truncated, info = test_env.step(action)
-        for d in range(num_drones):
-            logger.log(
-                drone=d,
-                timestamp=i / test_env.CTRL_FREQ,
-                state=np.hstack(
-                    [obs[d][0:3], np.zeros(4), obs[d][3:12],
-                     np.resize(action[d], 4)]
-                ),
-                control=np.zeros(12),
-            )
+        obs_, reward, terminated, truncated, info = test_env.step(action)
+        if obs == "kin":
+            for d in range(num_drones):
+                logger.log(
+                    drone=d,
+                    timestamp=i / test_env.CTRL_FREQ,
+                    state=np.hstack(
+                        [obs_[d][0:3], np.zeros(4), obs_[d][3:12],
+                         np.resize(action[d], 4)]
+                    ),
+                    control=np.zeros(12),
+                )
         if terminated or truncated:
-            obs, info = test_env.reset(seed=42, options={})
+            obs_, info = test_env.reset(seed=42, options={})
     test_env.close()
 
-    if plot and DEFAULT_OBS == "kin":
+    if plot and obs == "kin":
         logger.plot()
     return best_return
 
@@ -195,5 +234,9 @@ if __name__ == "__main__":
     parser.add_argument("--local", default=True, type=str2bool)
     parser.add_argument("--plot", default=True, type=str2bool)
     parser.add_argument("--act", default=DEFAULT_ACT, type=str)
+    parser.add_argument("--obs", default=DEFAULT_OBS, type=str,
+                        choices=["kin", "rgb"],
+                        help="'rgb' trains pixels-to-actions: drone-POV "
+                             "frames rendered in-graph + conv actor-critic")
     ARGS = parser.parse_args()
     run(**vars(ARGS))

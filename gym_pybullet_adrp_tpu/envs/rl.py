@@ -165,6 +165,57 @@ def compute_obs(cfg: RLConfig, state: RLState) -> jnp.ndarray:
     return jnp.concatenate([obs12, buf], axis=-1)
 
 
+def compute_rgb_obs(cfg: RLConfig, params: DroneParams, state: RLState,
+                    width: int = 32, height: int = 24) -> jnp.ndarray:
+    """Flat drone-0 POV pixel observation, values in [0, 1], (H*W*3,).
+
+    The in-graph analog of the reference's RGB observation mode
+    (BaseRLAviary._computeObs:284-305, which copies PyBullet camera frames
+    on the host every other control step): here the frame comes from the
+    pure-JAX ray caster (ops/render.py) INSIDE the jitted step, so
+    pixels-to-actions PPO runs entirely on-device — something the
+    reference's per-env CPU camera could not scale to. Scene: ground
+    checkerboard + the 4 landmark pillars (the reference's RGB-mode props,
+    BaseRLAviary._addObstacles:106-126) + the other drones (self excluded:
+    the camera eye sits inside the drone's own collision sphere).
+    """
+    from gym_pybullet_adrp_tpu.ops import render as render_mod
+
+    phys = state.core.phys
+    n = cfg.aviary.num_drones
+    dtype = phys.pos.dtype
+    scene = render_mod.empty_scene(dtype=dtype)
+    lm = jnp.asarray(
+        [[1, 0, 0.1], [0, 1, 0.1], [-1, 0, 0.1], [0, -1, 0.1]], dtype=dtype
+    )
+    scene = scene._replace(
+        cap_center=lm,
+        cap_half=jnp.full((4,), 0.1, dtype),
+        cap_radius=jnp.full((4,), 0.05, dtype),
+        cap_color=jnp.asarray(
+            [[0.8, 0.2, 0.2], [0.2, 0.8, 0.2], [0.9, 0.8, 0.1],
+             [0.5, 0.3, 0.1]], dtype=dtype,
+        ),
+        cap_valid=jnp.ones((4,), dtype=bool),
+    )
+    if n > 1:
+        scene = scene._replace(
+            sph_center=phys.pos,
+            sph_radius=jnp.full((n,), 0.06, dtype),
+            sph_color=jnp.tile(
+                jnp.asarray([[0.3, 0.3, 0.3]], dtype=dtype), (n, 1)
+            ),
+            sph_valid=jnp.arange(n) != 0,   # mask out the camera drone
+        )
+    eye, target = render_mod.drone_camera(
+        phys.pos[0], phys.quat[0], params.arm
+    )
+    rgba, _, _ = render_mod.render(
+        scene, eye, target, width=width, height=height
+    )
+    return (rgba[..., :3] / 255.0).reshape(-1)
+
+
 def compute_reward(cfg: RLConfig, state: RLState) -> jnp.ndarray:
     """Scalar reward (reference HoverAviary.py:68-79 /
     MultiHoverAviary.py:75-88)."""

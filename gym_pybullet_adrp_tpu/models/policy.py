@@ -42,6 +42,44 @@ class ActorCritic(nn.Module):
         return mean, log_std, jnp.squeeze(value, axis=-1)
 
 
+class CnnActorCritic(nn.Module):
+    """Pixel actor-critic: shared conv extractor + Gaussian/value heads.
+
+    The RGB analog of :class:`ActorCritic` (SB3 ``CnnPolicy`` layout:
+    shared NatureCNN-style features, heads straight off the embedding),
+    scaled to the drone camera's small frames. Consumes the FLAT pixel
+    observation vector the RGB env adapters emit (values in [0, 1]) and
+    reshapes internally, so the PPO core is identical for pixels and
+    state vectors. Convs run channels-last on the MXU.
+    """
+
+    act_dim: int
+    img_h: int = 24
+    img_w: int = 32
+    img_c: int = 3
+    features: int = 256
+
+    @nn.compact
+    def __call__(self, obs):
+        ortho = nn.initializers.orthogonal
+        x = obs.reshape(obs.shape[:-1] + (self.img_h, self.img_w, self.img_c))
+        for ch, k, s in ((16, 5, 2), (32, 3, 2), (64, 3, 2)):
+            x = nn.relu(
+                nn.Conv(ch, (k, k), strides=(s, s), padding="SAME",
+                        kernel_init=ortho(np.sqrt(2)))(x)
+            )
+        x = x.reshape(x.shape[:-3] + (-1,))
+        feat = nn.relu(
+            nn.Dense(self.features, kernel_init=ortho(np.sqrt(2)))(x)
+        )
+        mean = nn.Dense(self.act_dim, kernel_init=ortho(0.01))(feat)
+        value = nn.Dense(1, kernel_init=ortho(1.0))(feat)
+        log_std = self.param(
+            "log_std", nn.initializers.zeros, (self.act_dim,)
+        )
+        return mean, log_std, jnp.squeeze(value, axis=-1)
+
+
 def sample_action(rng, mean, log_std):
     std = jnp.exp(log_std)
     noise = jax.random.normal(rng, mean.shape, dtype=mean.dtype)

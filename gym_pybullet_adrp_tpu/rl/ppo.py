@@ -93,13 +93,15 @@ class TrainState(NamedTuple):
 
 
 def make_ppo_core(cfg: PPOConfig, adapter: EnvAdapter, dtype=jnp.float32,
-                  axis_name=None):
+                  axis_name=None, network=None):
     """Build (init_fn, train_step, eval_rollout) for any EnvAdapter.
 
     Pass ``axis_name`` when wrapping in shard_map/pmap so gradients pmean
-    over the mesh axis.
+    over the mesh axis. ``network`` overrides the default MLP ActorCritic —
+    any flax module with the same ``(mean, log_std, value)`` call contract
+    (e.g. models.policy.CnnActorCritic for pixel observations).
     """
-    network = ActorCritic(act_dim=adapter.act_dim)
+    network = network or ActorCritic(act_dim=adapter.act_dim)
     if cfg.total_updates is not None:
         lr = optax.linear_schedule(
             init_value=cfg.lr, end_value=0.0,
@@ -310,6 +312,44 @@ def hover_adapter(cfg: PPOConfig, rl_cfg: rlenv.RLConfig,
         batched_reset=batched_reset,
         step=step,
         obs_dim=n_drones * rl_cfg.obs_size,
+        act_dim=n_drones * rl_cfg.act_size,
+    )
+
+
+def rgb_hover_adapter(cfg: PPOConfig, rl_cfg: rlenv.RLConfig,
+                      params: DroneParams, init_xyzs, init_rpys,
+                      width: int = 32, height: int = 24,
+                      dtype=jnp.float32) -> EnvAdapter:
+    """Pixels-to-actions hover env: obs = drone-0 POV frames rendered
+    in-graph (rlenv.compute_rgb_obs). Pair with
+    ``models.policy.CnnActorCritic(act_dim, img_h=height, img_w=width)``.
+    """
+    n_drones = rl_cfg.aviary.num_drones
+    reset_template = rlenv.rl_reset(rl_cfg, init_xyzs, init_rpys, dtype=dtype)
+    env_step = jax.vmap(
+        partial(rlenv.autoreset_step, rl_cfg, params, reset_template)
+    )
+    rgb = jax.vmap(
+        partial(rlenv.compute_rgb_obs, rl_cfg, params,
+                width=width, height=height)
+    )
+
+    def batched_reset(key):
+        env_state = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (cfg.n_envs,) + x.shape),
+            reset_template,
+        )
+        return env_state, rgb(env_state)
+
+    def step(env_state, action, key):
+        act = action.reshape(-1, n_drones, rl_cfg.act_size)
+        env_state, _, reward, term, trunc = env_step(env_state, act)
+        return env_state, rgb(env_state), reward, term | trunc
+
+    return EnvAdapter(
+        batched_reset=batched_reset,
+        step=step,
+        obs_dim=height * width * 3,
         act_dim=n_drones * rl_cfg.act_size,
     )
 
