@@ -46,6 +46,35 @@ def rl_race_reset(spec: RaceSpec, track: RaceTrack, key,
     )
 
 
+def compute_rgb_obs(spec: RaceSpec, state: RaceRLState,
+                    width: int = 32, height: int = 24) -> jnp.ndarray:
+    """Flat drone-0 POV pixel observation of the race scene, [0, 1].
+
+    Camera-based racing: the actual (randomization-resolved) gates,
+    obstacles and opponent drones are ray-cast in-graph
+    (ops/render.scene_from_race_state), so pixels-to-actions race PPO runs
+    entirely on-device. The reference's RGB branch (MultiRaceAviary
+    :574-588) was latent/dead code tied to per-env host cameras.
+    """
+    from gym_pybullet_adrp_tpu.ops import render as render_mod
+
+    rs = state.race
+    n = spec.num_drones
+    scene = render_mod.scene_from_race_state(
+        rs.gates_actual, rs.obstacles_actual, rs.phys.pos
+    )
+    # mask the camera drone's own sphere (the eye sits inside it)
+    scene = scene._replace(sph_valid=jnp.arange(n) != 0)
+    arm = jnp.asarray(rs.drone.arm).reshape(-1)[0]
+    eye, target = render_mod.drone_camera(
+        rs.phys.pos[0], rs.phys.quat[0], arm
+    )
+    rgba, _, _ = render_mod.render(
+        scene, eye, target, width=width, height=height
+    )
+    return (rgba[..., :3] / 255.0).reshape(-1)
+
+
 def shaped_reward(spec: RaceSpec, state: RaceRLState, obs, terminated,
                   task_completed):
     """Dense progress + sparse pass/collision/lap reward
@@ -152,6 +181,8 @@ def batched_rl_race_step(spec: RaceSpec, track: RaceTrack, bstate,
     from gym_pybullet_adrp_tpu.envs import race_fast
 
     B, n = action.shape[0], spec.num_drones
+    # pin the env dtype regardless of the caller's (mirrors rl.rl_step)
+    action = jnp.asarray(action, dtype=bstate.race.phys.pos.dtype)
     act = action * ACTION_SCALE.astype(action.dtype)
     act = act.at[..., 3].set(0.0)
     pose = jnp.concatenate(

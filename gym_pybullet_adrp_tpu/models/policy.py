@@ -36,8 +36,11 @@ class ActorCritic(nn.Module):
             v = nn.tanh(nn.Dense(h, kernel_init=ortho(np.sqrt(2)))(v))
         value = nn.Dense(1, kernel_init=ortho(1.0))(v)
 
+        # explicit f32: initializers.zeros defaults to float64 under
+        # jax_enable_x64, silently promoting sampled actions
         log_std = self.param(
-            "log_std", nn.initializers.zeros, (self.act_dim,)
+            "log_std", lambda _, s: jnp.zeros(s, jnp.float32),
+            (self.act_dim,),
         )
         return mean, log_std, jnp.squeeze(value, axis=-1)
 
@@ -74,8 +77,11 @@ class CnnActorCritic(nn.Module):
         )
         mean = nn.Dense(self.act_dim, kernel_init=ortho(0.01))(feat)
         value = nn.Dense(1, kernel_init=ortho(1.0))(feat)
+        # explicit f32: initializers.zeros defaults to float64 under
+        # jax_enable_x64, silently promoting sampled actions
         log_std = self.param(
-            "log_std", nn.initializers.zeros, (self.act_dim,)
+            "log_std", lambda _, s: jnp.zeros(s, jnp.float32),
+            (self.act_dim,),
         )
         return mean, log_std, jnp.squeeze(value, axis=-1)
 

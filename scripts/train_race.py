@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--compete", action="store_true",
                     help="COMPETE mode: drone-drone collisions + opponent "
                          "poses in the observation")
+    ap.add_argument("--obs", default="kin", choices=["kin", "rgb"],
+                    help="'rgb': camera-based racing — drone-POV frames of "
+                         "the actual gates/obstacles ray-cast in-graph, "
+                         "conv actor-critic (general path only)")
     args = ap.parse_args()
 
     import jax
@@ -65,6 +69,8 @@ def main():
     racemode = RaceMode.COMPETE if args.compete else RaceMode.COMPARE
     if n_drones > 1 and not args.rowfast:
         ap.error("--n_drones > 1 requires --rowfast (self-play path)")
+    if args.obs == "rgb" and (args.rowfast or args.fast):
+        ap.error("--obs rgb runs on the general path (no --rowfast/--fast)")
     spec = race_mod.RaceSpec.from_config(
         config, num_drones=n_drones, racemode=racemode, physics=Physics.PYB
     )
@@ -139,7 +145,34 @@ def main():
             obs_dim=spec.obs_size,
             act_dim=4,
         )
-    init_fn, train_step, eval_fn = make_ppo_core(cfg, adapter)
+
+    network = None
+    if args.obs == "rgb":
+        from gym_pybullet_adrp_tpu.models.policy import CnnActorCritic
+
+        img_w, img_h = 32, 24
+        rgb = jax.vmap(
+            lambda s: race_rl.compute_rgb_obs(
+                spec, s, width=img_w, height=img_h
+            )
+        )
+        kin_reset, kin_step = adapter.batched_reset, adapter.step
+
+        def rgb_reset(key):
+            env_state, _ = kin_reset(key)
+            return env_state, rgb(env_state)
+
+        def rgb_step(env_state, action, key):
+            env_state, _, reward, done = kin_step(env_state, action, key)
+            return env_state, rgb(env_state), reward, done
+
+        adapter = EnvAdapter(
+            batched_reset=rgb_reset, step=rgb_step,
+            obs_dim=img_h * img_w * 3, act_dim=4,
+        )
+        network = CnnActorCritic(act_dim=4, img_h=img_h, img_w=img_w)
+
+    init_fn, train_step, eval_fn = make_ppo_core(cfg, adapter, network=network)
     ts = init_fn(jax.random.PRNGKey(0))
     train = jax.jit(train_step)
 

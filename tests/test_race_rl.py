@@ -88,3 +88,57 @@ def test_gate_pass_bonus_and_early_termination():
             break
     assert int(st.race.current_gate[0]) >= 1 or max(rewards) >= 4.0
     assert terminated
+
+
+def test_race_rgb_obs_shows_scene():
+    """Camera-based racing obs: flat [0,1] pixels; the forward view from
+    the start pose contains both sky and non-sky content."""
+    spec, track = _setup("getting_started")
+    st = race_rl.rl_race_reset(spec, track, jax.random.PRNGKey(0))
+    w, h = 16, 12
+    flat = race_rl.compute_rgb_obs(spec, st, width=w, height=h)
+    assert flat.shape == (h * w * 3,)
+    img = np.asarray(flat).reshape(h, w, 3)
+    assert 0.0 <= img.min() and img.max() <= 1.0
+    sky = np.array([0.7, 0.85, 1.0])
+    sky_frac = (np.abs(img - sky).max(axis=-1) < 0.02).mean()
+    assert 0.05 < sky_frac < 0.95  # something besides sky is visible
+
+
+def test_race_pixels_ppo_step():
+    """train_race --obs rgb composition: CnnActorCritic PPO over the
+    general race path with rendered observations."""
+    from gym_pybullet_adrp_tpu.models.policy import CnnActorCritic
+    from gym_pybullet_adrp_tpu.rl.ppo import EnvAdapter, PPOConfig, make_ppo_core
+
+    spec, track = _setup("twogates")
+    B = 2
+    cfg = PPOConfig(n_envs=B, n_steps=4, n_epochs=1, n_minibatches=2)
+    w, h = 16, 12
+    rgb = jax.vmap(
+        lambda s: race_rl.compute_rgb_obs(spec, s, width=w, height=h)
+    )
+
+    def batched_reset(key):
+        states = jax.vmap(
+            lambda k: race_rl.rl_race_reset(spec, track, k)
+        )(jax.random.split(key, B))
+        return states, rgb(states)
+
+    def step(env_state, action, key):
+        keys = jax.random.split(key, B)
+        act = action.reshape(B, 1, 4)
+        env_state, _, reward, term, trunc = race_rl.batched_rl_race_step(
+            spec, track, env_state, act, keys
+        )
+        return env_state, rgb(env_state), reward, term | trunc
+
+    adapter = EnvAdapter(
+        batched_reset=batched_reset, step=step,
+        obs_dim=h * w * 3, act_dim=4,
+    )
+    net = CnnActorCritic(act_dim=4, img_h=h, img_w=w)
+    init_fn, train_step, _ = make_ppo_core(cfg, adapter, network=net)
+    ts = jax.jit(init_fn)(jax.random.PRNGKey(0))
+    ts, metrics = jax.jit(train_step)(ts)
+    assert np.isfinite(float(metrics["loss"]))
