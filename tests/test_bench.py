@@ -1,0 +1,39 @@
+"""Driver contract: bench.py prints exactly one parseable JSON line."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def test_bench_json_line():
+    out = subprocess.run(
+        [sys.executable, str(ROOT / "bench.py"), "--platform", "cpu",
+         "--impl", "xla", "--envs", "64", "--steps", "4", "--repeats", "2"],
+        capture_output=True, text=True, timeout=600, cwd=str(ROOT),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.strip().splitlines()
+             if ln.startswith("{")]
+    assert len(lines) == 1, out.stdout
+    rec = json.loads(lines[0])
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert rec["unit"] == "env-steps/s"
+    assert rec["value"] > 0
+
+
+def test_bench_race_json_line():
+    out = subprocess.run(
+        [sys.executable, str(ROOT / "bench.py"), "--platform", "cpu",
+         "--impl", "race", "--drones", "1", "--envs", "128", "--steps", "2",
+         "--repeats", "1"],
+        capture_output=True, text=True, timeout=600, cwd=str(ROOT),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.strip().splitlines()
+             if ln.startswith("{")]
+    assert len(lines) == 1, out.stdout
+    rec = json.loads(lines[0])
+    assert rec["value"] > 0
