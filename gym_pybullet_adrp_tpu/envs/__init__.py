@@ -6,8 +6,9 @@ from gym_pybullet_adrp_tpu.envs.aviary import (
 from gym_pybullet_adrp_tpu.envs.beta import BetaAviary
 from gym_pybullet_adrp_tpu.envs.cf import CFAviary
 from gym_pybullet_adrp_tpu.envs.race import MultiRaceAviary
+from gym_pybullet_adrp_tpu.envs.vector import JaxVectorEnv
 
 __all__ = [
     "BaseRLAviary", "BetaAviary", "CFAviary", "CtrlAviary", "HoverAviary",
-    "MultiHoverAviary", "MultiRaceAviary", "VelocityAviary",
+    "JaxVectorEnv", "MultiHoverAviary", "MultiRaceAviary", "VelocityAviary",
 ]

@@ -1,0 +1,109 @@
+"""Vectorized Gymnasium envs: N instances stepped as ONE device launch.
+
+The reference's vectorization is SB3's ``make_vec_env(HoverAviary,
+n_envs=1)`` (reference examples/learn.py:53-65) — one PyBullet process per
+env instance, stepped sequentially on the host. Here the batch axis is a
+``jax.vmap`` axis of the functional env core, so a ``JaxVectorEnv`` with
+thousands of instances costs one XLA launch per step — usable as a drop-in
+batched env for external (e.g. torch-based) trainers, while the in-repo PPO
+(rl/ppo.py) skips the host boundary entirely.
+
+Autoreset follows the SB3 VecEnv convention the reference trained against:
+when an episode ends, the returned observation is already the FIRST
+observation of the next episode (terminal obs are not surfaced separately).
+"""
+
+import time
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from gymnasium.vector import VectorEnv
+from gymnasium.vector.utils import batch_space
+
+from gym_pybullet_adrp_tpu.envs import rl
+from gym_pybullet_adrp_tpu.envs.aviary import HoverAviary, MultiHoverAviary
+from gym_pybullet_adrp_tpu.utils.enums import ActionType, DroneModel
+
+
+class JaxVectorEnv(VectorEnv):
+    """Batched HoverAviary / MultiHoverAviary (task='hover'/'multihover')."""
+
+    metadata = {"render_modes": []}
+
+    def __init__(
+        self,
+        num_envs: int,
+        task: str = "hover",
+        num_drones: int = 1,
+        drone_model: DroneModel = DroneModel.CF2X,
+        act: ActionType = ActionType.RPM,
+        ctrl_freq: int = 30,
+        dtype=jnp.float32,
+    ):
+        if task == "multihover":
+            proto = MultiHoverAviary(
+                drone_model=drone_model, num_drones=max(num_drones, 2),
+                act=act, ctrl_freq=ctrl_freq, dtype=dtype,
+            )
+        else:
+            proto = HoverAviary(
+                drone_model=drone_model, act=act, ctrl_freq=ctrl_freq,
+                dtype=dtype,
+            )
+        self._proto = proto           # space definitions + params + inits
+        self.num_envs = num_envs
+        self.single_observation_space = proto.observation_space
+        self.single_action_space = proto.action_space
+        self.observation_space = batch_space(proto.observation_space, num_envs)
+        self.action_space = batch_space(proto.action_space, num_envs)
+
+        cfg, params = proto.rl_cfg, proto.params
+        self._n = proto.NUM_DRONES
+        self._act_size = cfg.act_size
+        reset_template = rl.rl_reset(
+            cfg, proto.INIT_XYZS, proto.INIT_RPYS, dtype=dtype
+        )
+        self._template = reset_template
+
+        @jax.jit
+        def _batched_reset():
+            state = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (num_envs,) + x.shape),
+                reset_template,
+            )
+            return state, jax.vmap(partial(rl.compute_obs, cfg))(state)
+
+        self._jit_reset = _batched_reset
+        self._jit_step = jax.jit(
+            jax.vmap(partial(rl.autoreset_step, cfg, params, reset_template))
+        )
+        self._state = None
+
+    def reset(self, seed: Optional[int] = None, options: Optional[dict] = None):
+        self._state, obs = self._jit_reset()
+        return np.asarray(obs, dtype=np.float32), {}
+
+    def step(self, actions):
+        act = jnp.asarray(
+            np.reshape(actions, (self.num_envs, self._n, self._act_size)),
+            dtype=self._template.core.phys.pos.dtype,
+        )
+        self._state, obs, reward, term, trunc = self._jit_step(
+            self._state, act
+        )
+        return (
+            np.asarray(obs, dtype=np.float32),
+            np.asarray(reward, dtype=np.float32),
+            np.asarray(term),
+            np.asarray(trunc),
+            {},
+        )
+
+    def render(self):  # pragma: no cover - headless container
+        return None
+
+    def close_extras(self, **kwargs):
+        pass

@@ -201,3 +201,27 @@ def test_cnn_ppo_trains_on_pixels():
     assert ts.last_obs.shape == (4, h * w * 3)
     ts, metrics = jax.jit(train_step)(ts)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_jax_vector_env_matches_single_env():
+    """JaxVectorEnv: batched spaces, SB3-style autoreset, lane 0 equals the
+    single HoverAviary instance stepped with the same actions."""
+    from gym_pybullet_adrp_tpu.envs import HoverAviary, JaxVectorEnv
+
+    B = 4
+    venv = JaxVectorEnv(B)
+    assert venv.action_space.shape == (B, 1, 4)
+    obs, _ = venv.reset()
+    assert obs.shape == (B,) + venv.single_observation_space.shape
+
+    env = HoverAviary()
+    sobs, _ = env.reset()
+    np.testing.assert_allclose(obs[0], sobs, atol=1e-6)
+
+    act = np.full((B, 1, 4), 0.2, dtype=np.float32)
+    for _ in range(3):
+        obs, rew, term, trunc, _ = venv.step(act)
+        sobs, srew, sterm, strunc, _ = env.step(act[0])
+    assert rew.shape == (B,) and term.shape == (B,)
+    np.testing.assert_allclose(obs[0], sobs, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(rew[0], srew, rtol=1e-5, atol=1e-5)
