@@ -105,8 +105,18 @@ def run(
         network = CnnActorCritic(
             act_dim=adapter.act_dim, img_h=img_h, img_w=img_w
         )
-        init_fn, train_step, eval_core = make_ppo_core(
+        init_fn, train_step, _ = make_ppo_core(
             cfg, adapter, network=network
+        )
+        # evaluation only reads env 0 — use a small adapter batch so each
+        # eval step renders 16 frames, not n_envs
+        eval_cfg = PPOConfig(n_envs=16, n_steps=cfg.n_steps)
+        eval_adapter = rgb_hover_adapter(
+            eval_cfg, rl_cfg, params, init_xyzs, init_rpys,
+            width=img_w, height=img_h,
+        )
+        _, _, eval_core = make_ppo_core(
+            eval_cfg, eval_adapter, network=network
         )
         eval_fn = lambda p, rng, n: eval_core(p, rng, n)[:1]
     else:
@@ -173,12 +183,15 @@ def run(
     )
     if obs == "rgb":
         # match the training camera resolution; the Gym env emits uint8
-        # frames where the in-graph adapter emits [0, 1] floats
+        # frames where the in-graph adapter emits [0, 1] floats. IMG_RES is
+        # read at capture time, so rebuild the already-constructed obs space
         test_env.IMG_RES = np.array([img_w, img_h])
+        test_env.observation_space = test_env._observationSpace()
         network = CnnActorCritic(
             act_dim=num_drones * rl_cfg.act_size, img_h=img_h, img_w=img_w
         )
-        to_net = lambda o: np.asarray(o, dtype=np.float32)[
+        # training consumed drone 0's POV only (rgb_hover_adapter)
+        to_net = lambda o: np.asarray(o[0], dtype=np.float32)[
             ..., :3].reshape(1, -1) / 255.0
     else:
         network = ActorCritic(act_dim=num_drones * rl_cfg.act_size)

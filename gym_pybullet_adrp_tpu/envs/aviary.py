@@ -167,21 +167,7 @@ class JaxAviaryBase(gym.Env):
             sph_valid=jnp.ones((self.NUM_DRONES,), dtype=bool),
         )
         if self.OBSTACLES:
-            lm = jnp.asarray(
-                [[1, 0, 0.1], [0, 1, 0.1], [-1, 0, 0.1], [0, -1, 0.1]],
-                dtype=self.dtype,
-            )
-            scene = scene._replace(
-                cap_center=lm,
-                cap_half=jnp.full((4,), 0.1, self.dtype),
-                cap_radius=jnp.full((4,), 0.05, self.dtype),
-                cap_color=jnp.asarray(
-                    [[0.8, 0.2, 0.2], [0.2, 0.8, 0.2], [0.9, 0.8, 0.1],
-                     [0.5, 0.3, 0.1]],
-                    dtype=self.dtype,
-                ),
-                cap_valid=jnp.ones((4,), dtype=bool),
-            )
+            scene = render_mod.add_landmarks(scene, dtype=self.dtype)
         return scene
 
     def _getDroneImages(self, nth_drone: int, segmentation: bool = True):

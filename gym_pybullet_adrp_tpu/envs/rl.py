@@ -184,19 +184,8 @@ def compute_rgb_obs(cfg: RLConfig, params: DroneParams, state: RLState,
     phys = state.core.phys
     n = cfg.aviary.num_drones
     dtype = phys.pos.dtype
-    scene = render_mod.empty_scene(dtype=dtype)
-    lm = jnp.asarray(
-        [[1, 0, 0.1], [0, 1, 0.1], [-1, 0, 0.1], [0, -1, 0.1]], dtype=dtype
-    )
-    scene = scene._replace(
-        cap_center=lm,
-        cap_half=jnp.full((4,), 0.1, dtype),
-        cap_radius=jnp.full((4,), 0.05, dtype),
-        cap_color=jnp.asarray(
-            [[0.8, 0.2, 0.2], [0.2, 0.8, 0.2], [0.9, 0.8, 0.1],
-             [0.5, 0.3, 0.1]], dtype=dtype,
-        ),
-        cap_valid=jnp.ones((4,), dtype=bool),
+    scene = render_mod.add_landmarks(
+        render_mod.empty_scene(dtype=dtype), dtype=dtype
     )
     if n > 1:
         scene = scene._replace(
@@ -274,14 +263,15 @@ def rl_step(cfg: RLConfig, params: DroneParams, state: RLState, action):
     return new_state, obs, reward, terminated, truncated
 
 
-def autoreset_step(cfg: RLConfig, params: DroneParams, reset_state: RLState,
-                   state: RLState, action):
-    """Step + auto-reset on done — the vmap-friendly episode-boundary pattern
-    (the reference relied on SB3's VecEnv reset, learn.py:53-65)."""
+def autoreset_step_with_final(cfg: RLConfig, params: DroneParams,
+                              reset_state: RLState, state: RLState, action):
+    """Like :func:`autoreset_step` but also returns the ended episode's
+    terminal observation (for VecEnv ``final_observation`` infos)."""
     new_state, obs, reward, terminated, truncated = rl_step(
         cfg, params, state, action
     )
     done = terminated | truncated
+    final_obs = obs
     new_state = jax.tree_util.tree_map(
         lambda r, s: jnp.where(
             jnp.reshape(done, (1,) * s.ndim), r, s
@@ -293,4 +283,14 @@ def autoreset_step(cfg: RLConfig, params: DroneParams, reset_state: RLState,
     # (SB3 VecEnv autoreset semantics; reward/terminated refer to the ended
     # episode and GAE masks the bootstrap with `done`)
     obs = jnp.where(done, compute_obs(cfg, new_state), obs)
+    return new_state, obs, final_obs, reward, terminated, truncated
+
+
+def autoreset_step(cfg: RLConfig, params: DroneParams, reset_state: RLState,
+                   state: RLState, action):
+    """Step + auto-reset on done — the vmap-friendly episode-boundary pattern
+    (the reference relied on SB3's VecEnv reset, learn.py:53-65)."""
+    new_state, obs, _, reward, terminated, truncated = (
+        autoreset_step_with_final(cfg, params, reset_state, state, action)
+    )
     return new_state, obs, reward, terminated, truncated

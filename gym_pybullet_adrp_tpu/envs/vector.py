@@ -10,10 +10,12 @@ batched env for external (e.g. torch-based) trainers, while the in-repo PPO
 
 Autoreset follows the SB3 VecEnv convention the reference trained against:
 when an episode ends, the returned observation is already the FIRST
-observation of the next episode (terminal obs are not surfaced separately).
+observation of the next episode, and the ended episode's terminal
+observation is surfaced through ``infos["final_observation"]`` (with the
+``infos["_final_observation"]`` mask) so external trainers bootstrap
+V(s_T) from the right state on truncation.
 """
 
-import time
 from functools import partial
 from typing import Optional
 
@@ -78,7 +80,10 @@ class JaxVectorEnv(VectorEnv):
 
         self._jit_reset = _batched_reset
         self._jit_step = jax.jit(
-            jax.vmap(partial(rl.autoreset_step, cfg, params, reset_template))
+            jax.vmap(
+                partial(rl.autoreset_step_with_final, cfg, params,
+                        reset_template)
+            )
         )
         self._state = None
 
@@ -91,15 +96,25 @@ class JaxVectorEnv(VectorEnv):
             np.reshape(actions, (self.num_envs, self._n, self._act_size)),
             dtype=self._template.core.phys.pos.dtype,
         )
-        self._state, obs, reward, term, trunc = self._jit_step(
+        self._state, obs, final_obs, reward, term, trunc = self._jit_step(
             self._state, act
         )
+        term = np.asarray(term)
+        trunc = np.asarray(trunc)
+        done = term | trunc
+        infos = {}
+        if done.any():
+            fo = np.asarray(final_obs, dtype=np.float32)
+            final = np.full(self.num_envs, None, dtype=object)
+            for i in np.flatnonzero(done):
+                final[i] = fo[i]
+            infos = {"final_observation": final, "_final_observation": done}
         return (
             np.asarray(obs, dtype=np.float32),
             np.asarray(reward, dtype=np.float32),
-            np.asarray(term),
-            np.asarray(trunc),
-            {},
+            term,
+            trunc,
+            infos,
         )
 
     def render(self):  # pragma: no cover - headless container

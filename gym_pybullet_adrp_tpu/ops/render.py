@@ -93,6 +93,27 @@ def scene_from_race_state(gates_actual, obstacles_actual, drone_pos,
     )
 
 
+def add_landmarks(scene: Scene, dtype=jnp.float32) -> Scene:
+    """Append the 4 colored landmark pillars (the reference's RGB-mode
+    props, BaseRLAviary._addObstacles:106-126). One definition shared by
+    the Gym replay scene (envs/aviary._scene) and the in-graph training
+    obs (envs/rl.compute_rgb_obs) so train-time and replay-time visuals
+    cannot diverge."""
+    lm = jnp.asarray(
+        [[1, 0, 0.1], [0, 1, 0.1], [-1, 0, 0.1], [0, -1, 0.1]], dtype=dtype
+    )
+    return scene._replace(
+        cap_center=lm,
+        cap_half=jnp.full((4,), 0.1, dtype),
+        cap_radius=jnp.full((4,), 0.05, dtype),
+        cap_color=jnp.asarray(
+            [[0.8, 0.2, 0.2], [0.2, 0.8, 0.2], [0.9, 0.8, 0.1],
+             [0.5, 0.3, 0.1]], dtype=dtype,
+        ),
+        cap_valid=jnp.ones((4,), dtype=bool),
+    )
+
+
 def empty_scene(dtype=jnp.float32) -> Scene:
     """Ground-plane-only scene (the RL hover envs)."""
     z3 = jnp.zeros((0, 3), dtype=dtype)

@@ -324,33 +324,26 @@ def rgb_hover_adapter(cfg: PPOConfig, rl_cfg: rlenv.RLConfig,
     in-graph (rlenv.compute_rgb_obs). Pair with
     ``models.policy.CnnActorCritic(act_dim, img_h=height, img_w=width)``.
     """
-    n_drones = rl_cfg.aviary.num_drones
-    reset_template = rlenv.rl_reset(rl_cfg, init_xyzs, init_rpys, dtype=dtype)
-    env_step = jax.vmap(
-        partial(rlenv.autoreset_step, rl_cfg, params, reset_template)
-    )
+    kin = hover_adapter(cfg, rl_cfg, params, init_xyzs, init_rpys, dtype)
     rgb = jax.vmap(
         partial(rlenv.compute_rgb_obs, rl_cfg, params,
                 width=width, height=height)
     )
 
     def batched_reset(key):
-        env_state = jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(x, (cfg.n_envs,) + x.shape),
-            reset_template,
-        )
+        env_state, _ = kin.batched_reset(key)
         return env_state, rgb(env_state)
 
     def step(env_state, action, key):
-        act = action.reshape(-1, n_drones, rl_cfg.act_size)
-        env_state, _, reward, term, trunc = env_step(env_state, act)
-        return env_state, rgb(env_state), reward, term | trunc
+        env_state, _, reward, done = kin.step(env_state, action, key)
+        # post-done env_state is already reset, so this is the fresh obs
+        return env_state, rgb(env_state), reward, done
 
     return EnvAdapter(
         batched_reset=batched_reset,
         step=step,
         obs_dim=height * width * 3,
-        act_dim=n_drones * rl_cfg.act_size,
+        act_dim=kin.act_dim,
     )
 
 

@@ -225,3 +225,29 @@ def test_jax_vector_env_matches_single_env():
     assert rew.shape == (B,) and term.shape == (B,)
     np.testing.assert_allclose(obs[0], sobs, rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(rew[0], srew, rtol=1e-5, atol=1e-5)
+
+
+def test_jax_vector_env_final_observation():
+    """On episode end the SB3/gymnasium 'final_observation' info carries the
+    terminal obs while the returned obs is the fresh episode's first obs."""
+    from gym_pybullet_adrp_tpu.envs import JaxVectorEnv
+
+    B = 2
+    venv = JaxVectorEnv(B, ctrl_freq=30)
+    obs0, _ = venv.reset()
+    # slam full throttle: the tilt/bounds truncation fires within the episode
+    act = np.full((B, 1, 4), 1.0, dtype=np.float32)
+    infos = {}
+    for _ in range(30 * 9):
+        obs, rew, term, trunc, infos = venv.step(act)
+        if "final_observation" in infos:
+            break
+    assert "final_observation" in infos
+    mask = infos["_final_observation"]
+    assert mask.any()
+    i = int(np.flatnonzero(mask)[0])
+    final = infos["final_observation"][i]
+    assert final is not None and final.shape == obs[i].shape
+    # returned obs is the reset obs, not the terminal one
+    np.testing.assert_allclose(obs[i], obs0[i], atol=1e-6)
+    assert not np.allclose(final, obs0[i], atol=1e-6)
