@@ -1,0 +1,141 @@
+"""Analytic policy gradients: train hover by BPTT through the simulator.
+
+The whole simulator — rigid-body physics, motor model, controllers — is
+pure JAX, so it is differentiable end-to-end. This is a capability class
+the reference cannot reach (PyBullet's C++ LCP stepper has no gradients;
+see the GPU/JAX simulator literature: Crazyflow, DiffAero): instead of
+estimating policy gradients from sampled returns (PPO), backpropagate the
+task loss THROUGH the rolled-out dynamics and update the policy with exact
+first-order gradients. Hover converges in tens of iterations — orders of
+magnitude fewer env steps than the PPO runs in examples/learn.py.
+
+Each rollout step is wrapped in ``jax.checkpoint`` so BPTT over
+``horizon × 8`` physics substeps rematerializes activations instead of
+storing them (HBM is the binding resource; see DESIGN.md §2).
+
+    python examples/apg.py --iters 150 --horizon 60
+"""
+
+import argparse
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def run(iters=150, horizon=60, n_envs=256, lr=0.01, plot=False, seed=0):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    from gym_pybullet_adrp_tpu.envs import rl as rlenv
+    from gym_pybullet_adrp_tpu.envs.core import AviaryConfig
+    from gym_pybullet_adrp_tpu.models.drone import drone_params
+    from gym_pybullet_adrp_tpu.models.policy import ActorCritic
+    from gym_pybullet_adrp_tpu.utils.enums import ActionType, DroneModel
+
+    rl_cfg = rlenv.RLConfig(
+        aviary=AviaryConfig(ctrl_freq=30), act_type=ActionType.RPM
+    )
+    params = drone_params(DroneModel.CF2X)
+    init_xyzs = np.array([[0.0, 0.0, 0.1125]])
+    init_rpys = np.zeros((1, 3))
+    target = jnp.asarray([0.0, 0.0, 1.0])
+
+    network = ActorCritic(act_dim=rl_cfg.act_size)
+    reset_template = rlenv.rl_reset(rl_cfg, init_xyzs, init_rpys)
+    obs0 = rlenv.compute_obs(rl_cfg, reset_template).reshape(-1)
+    net_params = network.init(jax.random.PRNGKey(seed), obs0[None])
+
+    # one differentiable env step (policy in the loop), rematerialized
+    @jax.checkpoint
+    def step(carry, _):
+        state, _ = carry
+        obs = rlenv.compute_obs(rl_cfg, state).reshape(-1)
+        mean, _, _ = network.apply(carry[1], obs[None])
+        action = jnp.tanh(mean).reshape(1, rl_cfg.act_size)
+        state, _, _, _, _ = rlenv.rl_step(rl_cfg, params, state, action)
+        pos = state.core.phys.pos[0]
+        rpy = state.core.phys.rpy[0]
+        cost = (
+            jnp.sum((pos - target) ** 2)
+            + 0.1 * jnp.sum(state.core.phys.vel[0] ** 2)
+            + 0.1 * jnp.sum(rpy[:2] ** 2)
+            + 1e-3 * jnp.sum(action**2)
+        )
+        return (state, carry[1]), cost
+
+    def loss_fn(net_params, key):
+        # randomize the start point a little so the policy generalizes
+        dz = jax.random.uniform(key, (), minval=-0.05, maxval=0.3)
+        st = rlenv.rl_reset(
+            rl_cfg, init_xyzs + np.array([0, 0, 1e-6]) * 0, init_rpys
+        )
+        st = st._replace(
+            core=st.core._replace(
+                phys=st.core.phys._replace(
+                    pos=st.core.phys.pos.at[0, 2].add(dz)
+                )
+            )
+        )
+        (_, _), costs = jax.lax.scan(
+            step, (st, net_params), None, length=horizon
+        )
+        return costs.mean()
+
+    def batched_loss(net_params, key):
+        keys = jax.random.split(key, n_envs)
+        return jax.vmap(partial(loss_fn, net_params))(keys).mean()
+
+    tx = optax.adam(lr)
+    opt_state = tx.init(net_params)
+
+    @jax.jit
+    def train_iter(net_params, opt_state, key):
+        loss, grads = jax.value_and_grad(batched_loss)(net_params, key)
+        updates, opt_state = tx.update(grads, opt_state, net_params)
+        return optax.apply_updates(net_params, updates), opt_state, loss
+
+    key = jax.random.PRNGKey(seed + 1)
+    t0 = time.time()
+    losses = []
+    for it in range(iters):
+        key, k = jax.random.split(key)
+        net_params, opt_state, loss = train_iter(net_params, opt_state, k)
+        losses.append(float(loss))
+        if it % 10 == 0 or it == iters - 1:
+            print(f"[{it:4d}] bptt loss {losses[-1]:9.4f}  "
+                  f"({(it + 1) * n_envs * horizon / (time.time() - t0):,.0f} "
+                  "env-steps/s)")
+
+    # evaluate: final distance to the hover target after a fresh rollout
+    st = rlenv.rl_reset(rl_cfg, init_xyzs, init_rpys)
+
+    @jax.jit
+    def rollout(net_params, st):
+        (st, _), costs = jax.lax.scan(
+            step, (st, net_params), None, length=horizon
+        )
+        return st, costs
+
+    st, costs = rollout(net_params, st)
+    dist = float(jnp.linalg.norm(st.core.phys.pos[0] - target))
+    print(f"final distance to target after {horizon} steps: {dist:.4f} m")
+    return losses, dist
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--iters", type=int, default=150)
+    ap.add_argument("--horizon", type=int, default=60)
+    ap.add_argument("--n_envs", type=int, default=256)
+    ap.add_argument("--lr", type=float, default=0.01)
+    args = ap.parse_args()
+    run(iters=args.iters, horizon=args.horizon, n_envs=args.n_envs,
+        lr=args.lr)

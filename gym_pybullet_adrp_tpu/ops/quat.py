@@ -194,28 +194,35 @@ def integrate_body(q, omega_body, dt):
     Exact closed-form (axis-angle) update, numerically identical to the
     reference's ``BaseAviary._integrateQ`` (BaseAviary.py:883-896): its
     Lambda-matrix exponential is the body-frame (right-multiply) quaternion
-    update. Guards the omega->0 singularity with a where-select (the
-    reference early-returns; here this stays branchless for jit).
+    update. Guards the omega->0 singularity with the DOUBLE-where pattern:
+    the norm is clamped BEFORE the sqrt/division so the discarded branch's
+    cotangents stay finite — a single where would forward correctly but
+    backprop NaN at omega = 0 (the sim is advertised differentiable,
+    tests/test_diff.py).
     """
-    norm = jnp.linalg.norm(omega_body, axis=-1, keepdims=True)
-    safe = jnp.maximum(norm, 1e-12)
-    theta = norm * dt * 0.5
-    axis = omega_body / safe
+    norm2 = jnp.sum(omega_body * omega_body, axis=-1, keepdims=True)
+    small = norm2 <= 1e-16  # == (norm <= 1e-8), the reference's atol
+    norm = jnp.sqrt(jnp.where(small, 1.0, norm2))
+    theta = jnp.where(small, 0.0, norm) * dt * 0.5
+    axis = omega_body / norm
     dq = jnp.concatenate([axis * jnp.sin(theta), jnp.cos(theta)], axis=-1)
     out = multiply(q, dq)
     # reference returns q unchanged when ||omega|| ~ 0 (np.isclose default atol 1e-8)
-    return jnp.where(norm <= 1e-8, q, out)
+    return jnp.where(small, q, out)
 
 
 def integrate_world(q, omega_world, dt):
     """Integrate quat with world-frame angular velocity over dt (left multiply).
 
     This is the PyBullet-style update used by the PYB physics pipeline.
+    Autodiff-safe at omega = 0 via the double-where pattern (see
+    :func:`integrate_body`).
     """
-    norm = jnp.linalg.norm(omega_world, axis=-1, keepdims=True)
-    safe = jnp.maximum(norm, 1e-12)
-    theta = norm * dt * 0.5
-    axis = omega_world / safe
+    norm2 = jnp.sum(omega_world * omega_world, axis=-1, keepdims=True)
+    small = norm2 <= 1e-16
+    norm = jnp.sqrt(jnp.where(small, 1.0, norm2))
+    theta = jnp.where(small, 0.0, norm) * dt * 0.5
+    axis = omega_world / norm
     dq = jnp.concatenate([axis * jnp.sin(theta), jnp.cos(theta)], axis=-1)
     out = multiply(dq, q)
-    return jnp.where(norm <= 1e-8, q, out)
+    return jnp.where(small, q, out)
