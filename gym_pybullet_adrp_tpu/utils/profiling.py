@@ -24,15 +24,30 @@ def trace(log_dir: str = "/tmp/jax-trace"):
 
 
 def measure_steps_per_sec(fn, *args, n_warmup: int = 1, n_repeats: int = 3,
-                          steps_per_call: int = 1):
-    """Best-of-N throughput of a jitted callable. Returns (steps/s, seconds)."""
+                          steps_per_call: int = 1, pipelined: bool = True):
+    """Throughput of a jitted callable. Returns (steps/s, seconds-per-call).
+
+    ``pipelined=True`` (default, same methodology as bench.py): dispatch
+    ``n_repeats`` calls back-to-back and block once, so the host/tunnel
+    round trip (~20 ms/call on this container's remote TPU) is amortized —
+    this measures sustained device throughput. ``pipelined=False`` blocks
+    per call and measures end-to-end latency instead.
+    """
     for _ in range(n_warmup):
         jax.block_until_ready(fn(*args))
-    best = float("inf")
-    for _ in range(n_repeats):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        best = min(best, time.perf_counter() - t0)
+    if pipelined:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [fn(*args) for _ in range(n_repeats)]
+            jax.block_until_ready(outs)
+            best = min(best, (time.perf_counter() - t0) / n_repeats)
+    else:
+        best = float("inf")
+        for _ in range(n_repeats):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*args))
+            best = min(best, time.perf_counter() - t0)
     return steps_per_call / best, best
 
 

@@ -123,3 +123,22 @@ def test_normalized_action_to_rpm_endpoints():
     np.testing.assert_allclose(float(r[0]), 0.0, atol=1e-9)
     np.testing.assert_allclose(float(r[1]), float(p.hover_rpm), rtol=1e-9)
     np.testing.assert_allclose(float(r[2]), float(p.max_rpm), rtol=1e-9)
+
+
+def test_profiling_measure_steps_per_sec():
+    import jax
+    import jax.numpy as jnp
+
+    from gym_pybullet_adrp_tpu.utils.profiling import (
+        RealTimeFactor, measure_steps_per_sec,
+    )
+
+    f = jax.jit(lambda x: x * 2.0)
+    x = jnp.ones((8,))
+    for pipelined in (True, False):
+        sps, sec = measure_steps_per_sec(
+            f, x, n_repeats=2, steps_per_call=16, pipelined=pipelined
+        )
+        assert sps > 0 and sec > 0
+    rtf = RealTimeFactor()
+    assert rtf.factor(1.0) > 0
