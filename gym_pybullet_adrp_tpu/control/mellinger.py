@@ -296,9 +296,16 @@ def controller_mellinger(state: MellingerState, setpoint: Setpoint,
 
     current_thrust = jnp.sum(target_thrust * z_axis, axis=-1)
 
-    z_axis_desired = target_thrust / jnp.maximum(
-        jnp.linalg.norm(target_thrust, axis=-1, keepdims=True), 1e-12
-    )
+    def _safe_normalize(v):
+        # double-where: the zero-vector case (STOP command -> zero thrust)
+        # must not see sqrt(0)/0-division in the BACKWARD pass — the sim is
+        # differentiable end-to-end (tests/test_diff.py, examples/race_grad)
+        n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+        small = n2 <= 1e-24  # == old max(norm, 1e-12) kick-in point
+        n = jnp.sqrt(jnp.where(small, 1.0, n2))
+        return jnp.where(small, 0.0, v / n)
+
+    z_axis_desired = _safe_normalize(target_thrust)
     x_c_des = jnp.stack(
         [
             jnp.cos(desired_yaw * DEG_TO_RAD),
@@ -307,10 +314,7 @@ def controller_mellinger(state: MellingerState, setpoint: Setpoint,
         ],
         axis=-1,
     )
-    y_axis_desired = jnp.cross(z_axis_desired, x_c_des)
-    y_axis_desired = y_axis_desired / jnp.maximum(
-        jnp.linalg.norm(y_axis_desired, axis=-1, keepdims=True), 1e-12
-    )
+    y_axis_desired = _safe_normalize(jnp.cross(z_axis_desired, x_c_des))
     x_axis_desired = jnp.cross(y_axis_desired, z_axis_desired)
 
     # attitude error eR from [Rdes^T R - R^T Rdes]

@@ -122,6 +122,8 @@ def rl_race_step(spec: RaceSpec, track: RaceTrack, state: RaceRLState,
 
     Returns (state, obs, reward, terminated, truncated).
     """
+    # pin the env dtype regardless of the caller's (mirrors rl.rl_step)
+    action = jnp.asarray(action, dtype=state.race.phys.pos.dtype)
     action = action * ACTION_SCALE.astype(action.dtype)
     action = action.at[:, 3].set(0.0)  # yaw zeroed (reference :64)
     pose = jnp.concatenate(

@@ -48,3 +48,21 @@ def test_apg_training_reduces_loss():
     losses, dist = apg.run(iters=20, horizon=20, n_envs=8, lr=0.02)
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.7, (losses[0], losses[-1])
+
+
+def test_race_stack_is_differentiable():
+    """Gradients flow through the ENTIRE race pipeline (FULLSTATE command
+    processing, Mellinger law + biquad filters + tick gating, 20 physics
+    substeps per step) and a few Adam steps on the action plan reduce the
+    distance-to-gate loss (examples/race_grad.py, shortened)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from examples import race_grad
+
+    losses, gates, closest = race_grad.run(
+        iters=8, horizon=10, lr=0.05, verbose=False
+    )
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], (losses[0], losses[-1])
