@@ -79,12 +79,32 @@ class JaxVectorEnv(VectorEnv):
             return state, jax.vmap(partial(rl.compute_obs, cfg))(state)
 
         self._jit_reset = _batched_reset
-        self._jit_step = jax.jit(
-            jax.vmap(
+        obs_dim = int(np.prod(self.single_observation_space.shape))
+        self._obs_dim = obs_dim
+
+        @jax.jit
+        def _step(state, act):
+            state, obs, final_obs, reward, term, trunc = jax.vmap(
                 partial(rl.autoreset_step_with_final, cfg, params,
                         reset_template)
+            )(state, act)
+            # ONE packed output array = ONE device->host transfer per step
+            # (each separate fetch pays a full host round trip — ~50 ms
+            # through this container's remote-TPU tunnel, 5 of them made
+            # the naive step 269 ms)
+            packed = jnp.concatenate(
+                [
+                    obs.reshape(num_envs, -1),
+                    final_obs.reshape(num_envs, -1),
+                    reward[:, None].astype(jnp.float32),
+                    term[:, None].astype(jnp.float32),
+                    trunc[:, None].astype(jnp.float32),
+                ],
+                axis=1,
             )
-        )
+            return state, packed
+
+        self._jit_step = _step
         self._state = None
 
     def reset(self, seed: Optional[int] = None, options: Optional[dict] = None):
@@ -96,26 +116,23 @@ class JaxVectorEnv(VectorEnv):
             np.reshape(actions, (self.num_envs, self._n, self._act_size)),
             dtype=self._template.core.phys.pos.dtype,
         )
-        self._state, obs, final_obs, reward, term, trunc = self._jit_step(
-            self._state, act
-        )
-        term = np.asarray(term)
-        trunc = np.asarray(trunc)
+        self._state, packed = self._jit_step(self._state, act)
+        packed = np.asarray(packed)
+        d = self._obs_dim
+        obs_shape = (self.num_envs,) + self.single_observation_space.shape
+        obs = packed[:, :d].reshape(obs_shape).astype(np.float32)
+        reward = packed[:, 2 * d].astype(np.float32)
+        term = packed[:, 2 * d + 1] > 0.5
+        trunc = packed[:, 2 * d + 2] > 0.5
         done = term | trunc
         infos = {}
         if done.any():
-            fo = np.asarray(final_obs, dtype=np.float32)
+            fo = packed[:, d:2 * d].reshape(obs_shape).astype(np.float32)
             final = np.full(self.num_envs, None, dtype=object)
             for i in np.flatnonzero(done):
                 final[i] = fo[i]
             infos = {"final_observation": final, "_final_observation": done}
-        return (
-            np.asarray(obs, dtype=np.float32),
-            np.asarray(reward, dtype=np.float32),
-            term,
-            trunc,
-            infos,
-        )
+        return obs, reward, term, trunc, infos
 
     def render(self):  # pragma: no cover - headless container
         return None
