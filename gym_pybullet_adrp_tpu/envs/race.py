@@ -638,8 +638,27 @@ class MultiRaceAviary(_gym.Env):
             return race_reset(spec, trk, key, dtype=dtype)
 
         @jax.jit
-        def _step(state, cmd_ids, cmd_args):
-            return race_step(spec, trk, state, cmd_ids, cmd_args)
+        def _step(state, packed_in):
+            # ONE upload and ONE packed download per interactive step: each
+            # separate host<->device fetch costs a full round trip (~40 ms
+            # through this container's remote-TPU tunnel)
+            cmd_ids = packed_in[:, 0].astype(jnp.int32)
+            cmd_args = packed_in[:, 1:]
+            state, obs, reward, terminated, truncated, info = race_step(
+                spec, trk, state, cmd_ids, cmd_args
+            )
+            f32 = jnp.float32
+            packed = jnp.concatenate([
+                obs.astype(f32).reshape(-1),
+                jnp.stack([
+                    reward.astype(f32),
+                    terminated.astype(f32),
+                    truncated.astype(f32),
+                    info["task_completed"].astype(f32),
+                    state.step_counter.astype(f32),
+                ]),
+            ])
+            return state, packed
 
         self._jit_reset = _reset
         self._jit_step = _step
@@ -738,25 +757,33 @@ class MultiRaceAviary(_gym.Env):
                 cmd_ids[i] = cid
                 args[i] = vec
 
-        self._state, obs, reward, terminated, truncated, info = self._jit_step(
-            self._state, jnp.asarray(cmd_ids), jnp.asarray(args)
+        packed_in = np.concatenate(
+            [cmd_ids[:, None].astype(np.float32), args], axis=1
         )
-        self.step_counter = int(self._state.step_counter)
+        self._state, packed = self._jit_step(
+            self._state, jnp.asarray(packed_in)
+        )
+        packed = np.asarray(packed)
+        n_obs = packed.size - 5  # KIN obs block + 5 scalar channels
+        tail = packed[n_obs:]
+        self.step_counter = int(tail[4])
         info_out = {
             "answer": 42,
-            "task_completed": bool(info["task_completed"]),
+            "task_completed": bool(tail[3] > 0.5),
         }
         from gym_pybullet_adrp_tpu.utils.enums import ObservationType
 
         if self.observation_type == ObservationType.RGB:
             obs_out = self._rgbObs()
         else:
-            obs_out = np.asarray(obs, dtype=np.float64)
+            obs_out = packed[:n_obs].reshape(
+                self.NUM_DRONES, -1
+            ).astype(np.float64)
         return (
             obs_out,
-            float(reward),
-            bool(terminated),
-            bool(truncated),
+            float(tail[0]),
+            bool(tail[1] > 0.5),
+            bool(tail[2] > 0.5),
             info_out,
         )
 
