@@ -142,3 +142,17 @@ def test_profiling_measure_steps_per_sec():
         assert sps > 0 and sec > 0
     rtf = RealTimeFactor()
     assert rtf.factor(1.0) > 0
+
+
+def test_hosts_single_process_noop():
+    """parallel.hosts: single-host run is a no-op pass-through and the
+    global mesh covers the local devices."""
+    import jax
+
+    from gym_pybullet_adrp_tpu.parallel import hosts
+
+    assert hosts.ensure_initialized() is False
+    mesh = hosts.global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    start, count = hosts.local_env_slice(64)
+    assert (start, count) == (0, 64)
