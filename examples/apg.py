@@ -27,7 +27,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def run(iters=150, horizon=60, n_envs=256, lr=0.01, plot=False, seed=0):
+def run(iters=150, horizon=60, n_envs=256, lr=0.01, seed=0):
     import jax
     import jax.numpy as jnp
     import optax
@@ -73,9 +73,10 @@ def run(iters=150, horizon=60, n_envs=256, lr=0.01, plot=False, seed=0):
 
     def loss_fn(net_params, key):
         # randomize the start point a little so the policy generalizes
-        dz = jax.random.uniform(key, (), minval=-0.05, maxval=0.3)
-        st = rlenv.rl_reset(
-            rl_cfg, init_xyzs + np.array([0, 0, 1e-6]) * 0, init_rpys
+        st = rlenv.rl_reset(rl_cfg, init_xyzs, init_rpys)
+        dz = jax.random.uniform(
+            key, (), minval=-0.05, maxval=0.3,
+            dtype=st.core.phys.pos.dtype,
         )
         st = st._replace(
             core=st.core._replace(

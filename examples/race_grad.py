@@ -46,8 +46,10 @@ def run(iters=200, horizon=25, lr=0.05, config="configs/twogates.yaml",
     # waypoint 0.3 m beyond the gate plane along its normal
     yaw = gate[5]
     normal = np.array([-np.sin(yaw), np.cos(yaw), 0.0])
+    from gym_pybullet_adrp_tpu.utils.constants import GATE_Z_LOW, GATE_Z_TALL
+
     center = gate[:3].copy()
-    center[2] = 1.0 if gate[6] == 0 else 0.525
+    center[2] = GATE_Z_TALL if gate[6] == 0 else GATE_Z_LOW
     start = np.asarray(track.init_pos[0])
     if np.dot(start - center, normal) > 0:
         normal = -normal

@@ -299,11 +299,13 @@ def controller_mellinger(state: MellingerState, setpoint: Setpoint,
     def _safe_normalize(v):
         # double-where: the zero-vector case (STOP command -> zero thrust)
         # must not see sqrt(0)/0-division in the BACKWARD pass — the sim is
-        # differentiable end-to-end (tests/test_diff.py, examples/race_grad)
+        # differentiable end-to-end (tests/test_diff.py, examples/race_grad).
+        # Forward-identical to v / max(norm(v), 1e-12) for every input:
+        # sub-threshold norms divide by the same 1e-12 constant.
         n2 = jnp.sum(v * v, axis=-1, keepdims=True)
-        small = n2 <= 1e-24  # == old max(norm, 1e-12) kick-in point
+        small = n2 < 1e-24
         n = jnp.sqrt(jnp.where(small, 1.0, n2))
-        return jnp.where(small, 0.0, v / n)
+        return v / jnp.where(small, 1e-12, jnp.maximum(n, 1e-12))
 
     z_axis_desired = _safe_normalize(target_thrust)
     x_c_des = jnp.stack(

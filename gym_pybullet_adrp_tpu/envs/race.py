@@ -647,15 +647,16 @@ class MultiRaceAviary(_gym.Env):
             state, obs, reward, terminated, truncated, info = race_step(
                 spec, trk, state, cmd_ids, cmd_args
             )
-            f32 = jnp.float32
+            # pack in the obs dtype: preserves full precision for
+            # dtype=float64 parity runs (no float32 bottleneck)
+            dt = obs.dtype
             packed = jnp.concatenate([
-                obs.astype(f32).reshape(-1),
+                obs.reshape(-1),
                 jnp.stack([
-                    reward.astype(f32),
-                    terminated.astype(f32),
-                    truncated.astype(f32),
-                    info["task_completed"].astype(f32),
-                    state.step_counter.astype(f32),
+                    reward.astype(dt),
+                    terminated.astype(dt),
+                    truncated.astype(dt),
+                    info["task_completed"].astype(dt),
                 ]),
             ])
             return state, packed
@@ -764,9 +765,11 @@ class MultiRaceAviary(_gym.Env):
             self._state, jnp.asarray(packed_in)
         )
         packed = np.asarray(packed)
-        n_obs = packed.size - 5  # KIN obs block + 5 scalar channels
+        n_obs = packed.size - 4  # KIN obs block + 4 scalar channels
         tail = packed[n_obs:]
-        self.step_counter = int(tail[4])
+        # the device counter advances exactly PYB_STEPS_PER_CTRL per step:
+        # track it host-side (exact int, no extra device round trip)
+        self.step_counter += self.PYB_STEPS_PER_CTRL
         info_out = {
             "answer": 42,
             "task_completed": bool(tail[3] > 0.5),
