@@ -65,6 +65,16 @@ def main():
     init_xyzs = np.array([[0.0, 0.0, 0.1125]])
     init_rpys = np.zeros((1, 3))
 
+    if args.impl == "pallas-rollout" and jax.devices()[0].platform != "tpu":
+        # the fused-rollout Mosaic kernel has no practical CPU interpret
+        # path (64 in-kernel steps/launch); degrade to the XLA impl so
+        # every invocation still prints its JSON line
+        print(
+            "[bench] pallas-rollout requires a TPU; falling back to "
+            "--impl xla", file=sys.stderr,
+        )
+        args.impl = "xla"
+
     if args.steps is None:
         args.steps = 3840 if args.impl == "pallas-rollout" else 256
 
