@@ -36,3 +36,20 @@ def test_agent_first_actions(path, config):
             assert isinstance(cmd, Command)
             obs, *_ = env.step([a])
     assert np.isfinite(obs).all()
+
+
+def test_shipped_race_policy_passes_twogates():
+    """The shipped RL artifact clears both twogates gates (the reference
+    twogates.zip behavioral anchor; trained to end after gate 2, so
+    post-gate behavior is unconstrained)."""
+    cfg = load_config("configs/twogates.yaml")
+    env = MultiRaceAviary(cfg, num_drones=1, racemode=RaceMode.COMPARE)
+    obs, info = env.reset()
+    agent = load_controller("agents/rl_twogates.py")(0, obs[0], dict(info))
+    for i in range(250):
+        a = agent.predict(obs[0], ep_time=i / env.CTRL_FREQ)
+        action = np.asarray([a]) if isinstance(a, np.ndarray) else [a]
+        obs, reward, te, tr, _ = env.step(action)
+        if int(env.current_gate[0]) >= 2 or te or tr:
+            break
+    assert int(env.current_gate[0]) >= 2
