@@ -106,3 +106,37 @@ def test_parse_errors():
         parse_drone_urdf("<robot><link name='l'/></robot>")
     with pytest.raises(ValueError, match="missing attributes"):
         parse_drone_urdf("<robot><properties arm='0.1'/></robot>")
+
+
+import os
+
+import pytest
+
+REF_ASSETS = "/root/reference/gym_pybullet_adrp/assets"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_ASSETS),
+                    reason="reference checkout not present")
+@pytest.mark.parametrize("fname,model", [
+    ("cf2x_IROS.urdf", "CF2X"),
+    ("cf2p.urdf", "CF2P"),
+    ("racer.urdf", "RACE"),
+])
+def test_reference_urdfs_match_registry(fname, model):
+    """GOLDEN: parsing the reference's actual URDF assets reproduces the
+    embedded parameter registry (models/drone.py) — the registry is a
+    faithful transcription, not an approximation."""
+    import numpy as np
+
+    from gym_pybullet_adrp_tpu.models.drone import drone_params
+    from gym_pybullet_adrp_tpu.models.urdf import drone_params_from_urdf
+    from gym_pybullet_adrp_tpu.utils.enums import DroneModel
+
+    parsed = drone_params_from_urdf(os.path.join(REF_ASSETS, fname))
+    registry = drone_params(DroneModel[model])
+    for field in parsed._fields:
+        a = np.asarray(getattr(parsed, field), dtype=np.float64)
+        b = np.asarray(getattr(registry, field), dtype=np.float64)
+        np.testing.assert_allclose(
+            a, b, rtol=1e-6, atol=0, err_msg=f"{fname}:{field}"
+        )
