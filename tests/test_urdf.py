@@ -140,3 +140,22 @@ def test_reference_urdfs_match_registry(fname, model):
         np.testing.assert_allclose(
             a, b, rtol=1e-6, atol=0, err_msg=f"{fname}:{field}"
         )
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_ASSETS),
+                    reason="reference checkout not present")
+def test_reference_legacy_cf2x_matches_race_randomization_base():
+    """The race randomization bases (CF2X_LEGACY — reference _drone_init
+    reads the legacy cf2x.urdf, not the IROS file) match the actual asset."""
+    import numpy as np
+
+    from gym_pybullet_adrp_tpu.models.drone import CF2X_LEGACY
+    from gym_pybullet_adrp_tpu.models.urdf import parse_drone_urdf
+
+    raw = parse_drone_urdf(os.path.join(REF_ASSETS, "cf2x.urdf"))
+    np.testing.assert_allclose(raw["mass"], CF2X_LEGACY["mass"], rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(raw["J"], dtype=np.float64)
+        if "J" in raw else [raw["ixx"], raw["iyy"], raw["izz"]],
+        np.asarray(CF2X_LEGACY["J"]), rtol=1e-9,
+    )
