@@ -159,3 +159,58 @@ def test_reference_legacy_cf2x_matches_race_randomization_base():
         if "J" in raw else [raw["ixx"], raw["iyy"], raw["izz"]],
         np.asarray(CF2X_LEGACY["J"]), rtol=1e-9,
     )
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_ASSETS),
+                    reason="reference checkout not present")
+def test_reference_gate_and_obstacle_geometry_constants():
+    """GOLDEN: the analytic gate/obstacle geometry constants (which replace
+    rayTestBatch/getContactPoints) match the reference's actual URDF assets
+    (portal.urdf beam boxes, obstacle.urdf cylinder)."""
+    import xml.etree.ElementTree as ET
+
+    import numpy as np
+
+    from gym_pybullet_adrp_tpu.utils.constants import (
+        GATE_BEAM_HALF, GATE_EDGE_HALF_LEN, GATE_OPENING_HALF,
+        OBSTACLE_HALF_LEN, OBSTACLE_RADIUS,
+    )
+
+    from gym_pybullet_adrp_tpu.utils.constants import (
+        GATE_SUPPORT_CENTER_DZ, GATE_SUPPORT_HALF_LEN, GATE_SUPPORT_RADIUS,
+    )
+
+    portal = ET.parse(os.path.join(REF_ASSETS, "portal.urdf")).getroot()
+    offsets, sizes = [], []
+    for col in portal.iter("collision"):
+        xyz = [float(v) for v in col.find("origin").get("xyz").split()]
+        box = col.find("geometry/box")
+        if box is None:
+            # the support pole under the gate center
+            cyl = col.find("geometry/cylinder")
+            np.testing.assert_allclose(xyz[2], GATE_SUPPORT_CENTER_DZ)
+            np.testing.assert_allclose(
+                float(cyl.get("radius")), GATE_SUPPORT_RADIUS
+            )
+            np.testing.assert_allclose(
+                float(cyl.get("length")), 2 * GATE_SUPPORT_HALF_LEN
+            )
+            continue
+        size = [float(v) for v in box.get("size").split()]
+        offsets.append(xyz)
+        sizes.append(size)
+    assert len(offsets) == 4  # 4 beams
+    # beam centers sit at +-0.225 from the gate center
+    np.testing.assert_allclose(
+        sorted(abs(v) for o in offsets for v in o if abs(v) > 1e-9),
+        [GATE_OPENING_HALF] * 4,
+    )
+    # every beam is a 0.5 m box of 0.05 m thickness
+    for s in sizes:
+        np.testing.assert_allclose(max(s), 2 * GATE_EDGE_HALF_LEN)
+        np.testing.assert_allclose(min(s), 2 * GATE_BEAM_HALF)
+
+    obstacle = ET.parse(os.path.join(REF_ASSETS, "obstacle.urdf")).getroot()
+    cyl = obstacle.find(".//collision/geometry/cylinder")
+    np.testing.assert_allclose(float(cyl.get("radius")), OBSTACLE_RADIUS)
+    np.testing.assert_allclose(float(cyl.get("length")), 2 * OBSTACLE_HALF_LEN)
