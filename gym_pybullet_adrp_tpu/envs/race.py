@@ -483,9 +483,21 @@ def finish_ctrl_step(spec: RaceSpec, track: RaceTrack, state: RaceState):
     out_of_bounds = jnp.any(jnp.abs(pos) > track.bounds[1], axis=-1)
     unstable = jnp.any(jnp.abs(state.phys.ang_vel_world) > 20.0, axis=-1)
     crashed = _collisions(spec, state)
+    # done_on_collision (config/*.yaml: "terminate if collided with another
+    # object"): with False, contact does not eliminate — only out-of-bounds
+    # and instability do. The reference parsed this key but never wired it
+    # (MultiRaceAviary.py:85); here it is honored, default True.
+    if not spec.done_on_collision:
+        crashed = jnp.zeros_like(crashed)
     eliminated = state.eliminated | out_of_bounds | unstable | crashed
     state = state._replace(eliminated=eliminated)
-    done_mask = eliminated | state.finished
+    # done_on_completion ("terminate if all gates passed"): with False a
+    # finished drone no longer counts toward episode termination — the
+    # episode runs to truncation unless every drone is eliminated.
+    done_mask = eliminated | (
+        state.finished if spec.done_on_completion
+        else jnp.zeros_like(state.finished)
+    )
     terminated = jnp.all(done_mask)
     truncated = (
         state.step_counter.astype(dtype) / spec.pyb_freq
@@ -741,25 +753,29 @@ class MultiRaceAviary(_gym.Env):
     def step(self, action):
         """action: ndarray (N, 4) or a list of (Command, args) tuples per
         drone (the reference accepts both, step:189-207)."""
+        # pack the upload in the env dtype so input precision matches the
+        # packed download's (float64 parity runs keep f64 command targets
+        # end-to-end; cmd ids are small ints, exact in any float dtype)
+        up = np.dtype(self.dtype)
         if isinstance(action, np.ndarray) or (
             hasattr(action, "ndim") and not isinstance(action, (list, tuple))
         ):
-            action = np.asarray(action, dtype=np.float32)
+            action = np.asarray(action, dtype=up)
             cmd_ids = np.full((self.NUM_DRONES,), int(Command.FULLSTATE), np.int32)
-            args = np.zeros((self.NUM_DRONES, cmdr_mod.ARGS_DIM), np.float32)
+            args = np.zeros((self.NUM_DRONES, cmdr_mod.ARGS_DIM), up)
             args[:, 0:3] = action[:, 0:3]
             args[:, 9] = action[:, 3]
             args[:, 13] = self.step_counter
         else:
             cmd_ids = np.zeros((self.NUM_DRONES,), np.int32)
-            args = np.zeros((self.NUM_DRONES, cmdr_mod.ARGS_DIM), np.float32)
+            args = np.zeros((self.NUM_DRONES, cmdr_mod.ARGS_DIM), up)
             for i, (cmd, a) in enumerate(action):
                 cid, vec = cmdr_mod.pack_command(cmd, a)
                 cmd_ids[i] = cid
                 args[i] = vec
 
         packed_in = np.concatenate(
-            [cmd_ids[:, None].astype(np.float32), args], axis=1
+            [cmd_ids[:, None].astype(up), args], axis=1
         )
         self._state, packed = self._jit_step(
             self._state, jnp.asarray(packed_in)

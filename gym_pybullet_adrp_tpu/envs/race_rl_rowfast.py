@@ -431,6 +431,9 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
                     )
                 dd.append(hit_d)
             crash = crash | jnp.concatenate(dd, axis=0)
+        if not spec.done_on_collision:
+            # config flag: collisions don't eliminate (race.py wiring note)
+            crash = jnp.zeros_like(crash)
         oob = (
             (jnp.abs(px) > bounds_hi[0]) | (jnp.abs(py) > bounds_hi[1])
             | (jnp.abs(pz) > bounds_hi[2])
@@ -571,8 +574,12 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
 
         ep_steps = state.ep_steps + 1
         # env-level done: ALL drones eliminated-or-finished (reference
-        # _computeTerminated:674-698 / finish_ctrl_step)
-        done_mask = jnp.maximum(eliminated, finished)
+        # _computeTerminated:674-698 / finish_ctrl_step); with
+        # done_on_completion=False finished drones don't count toward it
+        done_mask = (
+            jnp.maximum(eliminated, finished)
+            if spec.done_on_completion else eliminated
+        )
         all_done = done_mask.reshape(N, Tb, LANE).min(axis=0)
         terminated = all_done > 0.5
         if end_after_gate:

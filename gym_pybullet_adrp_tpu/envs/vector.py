@@ -8,12 +8,15 @@ thousands of instances costs one XLA launch per step — usable as a drop-in
 batched env for external (e.g. torch-based) trainers, while the in-repo PPO
 (rl/ppo.py) skips the host boundary entirely.
 
-Autoreset follows the SB3 VecEnv convention the reference trained against:
-when an episode ends, the returned observation is already the FIRST
-observation of the next episode, and the ended episode's terminal
-observation is surfaced through ``infos["final_observation"]`` (with the
-``infos["_final_observation"]`` mask) so external trainers bootstrap
-V(s_T) from the right state on truncation.
+Autoreset is SAME-STEP (the SB3 VecEnv convention the reference trained
+against): when an episode ends, the returned observation is already the
+FIRST observation of the next episode, and the ended episode's terminal
+observation is surfaced through infos under BOTH the gymnasium >= 1.0
+spellings (``infos["final_obs"]`` / ``infos["_final_obs"]``) and the
+0.29-era ones (``infos["final_observation"]`` / ``"_final_observation"``),
+so external trainers of either generation bootstrap V(s_T) from the right
+state on truncation. ``metadata["autoreset_mode"]`` declares the mode for
+gymnasium 1.x consumers.
 """
 
 from functools import partial
@@ -22,8 +25,14 @@ from typing import Optional
 import numpy as np
 import jax
 import jax.numpy as jnp
+import gymnasium
 from gymnasium.vector import VectorEnv
 from gymnasium.vector.utils import batch_space
+
+try:  # gymnasium >= 1.0
+    _AUTORESET_SAME_STEP = gymnasium.vector.AutoresetMode.SAME_STEP
+except AttributeError:  # pragma: no cover - older gymnasium
+    _AUTORESET_SAME_STEP = "SameStep"
 
 from gym_pybullet_adrp_tpu.envs import rl
 from gym_pybullet_adrp_tpu.envs.aviary import HoverAviary, MultiHoverAviary
@@ -33,7 +42,7 @@ from gym_pybullet_adrp_tpu.utils.enums import ActionType, DroneModel
 class JaxVectorEnv(VectorEnv):
     """Batched HoverAviary / MultiHoverAviary (task='hover'/'multihover')."""
 
-    metadata = {"render_modes": []}
+    metadata = {"render_modes": [], "autoreset_mode": _AUTORESET_SAME_STEP}
 
     def __init__(
         self,
@@ -108,16 +117,33 @@ class JaxVectorEnv(VectorEnv):
         self._state = None
 
     def reset(self, seed: Optional[int] = None, options: Optional[dict] = None):
+        # NOTE: reset is deterministic by design — the hover tasks have no
+        # initial-state randomization (the reference's BaseAviary.reset:246
+        # likewise accepts but ignores its seed), so every env broadcasts
+        # the same template state and `seed` has no effect.
+        del seed, options
         self._state, obs = self._jit_reset()
-        return np.asarray(obs, dtype=np.float32), {}
+        # explicit device_get: the ONLY device->host transfer of reset()
+        # (tests/test_rl.py pins this with jax.transfer_guard)
+        return jax.device_get(obs).astype(np.float32), {}
 
     def step(self, actions):
-        act = jnp.asarray(
-            np.reshape(actions, (self.num_envs, self._n, self._act_size)),
-            dtype=self._template.core.phys.pos.dtype,
+        if self._state is None:
+            raise RuntimeError(
+                "JaxVectorEnv.step() called before reset(); call reset() "
+                "first to initialize the batched env state."
+            )
+        # ONE explicit host->device upload (actions) and ONE explicit
+        # device->host download (the packed outputs) per step — the
+        # single-transfer contract (VALIDATION §5c), pinned by the
+        # jax.transfer_guard regression test in tests/test_rl.py
+        act = jax.device_put(
+            np.reshape(
+                np.asarray(actions), (self.num_envs, self._n, self._act_size)
+            ).astype(self._template.core.phys.pos.dtype)
         )
         self._state, packed = self._jit_step(self._state, act)
-        packed = np.asarray(packed)
+        packed = jax.device_get(packed)
         d = self._obs_dim
         obs_shape = (self.num_envs,) + self.single_observation_space.shape
         obs = packed[:, :d].reshape(obs_shape).astype(np.float32)
@@ -129,9 +155,17 @@ class JaxVectorEnv(VectorEnv):
         if done.any():
             fo = packed[:, d:2 * d].reshape(obs_shape).astype(np.float32)
             final = np.full(self.num_envs, None, dtype=object)
+            final_info = np.full(self.num_envs, None, dtype=object)
             for i in np.flatnonzero(done):
                 final[i] = fo[i]
-            infos = {"final_observation": final, "_final_observation": done}
+                final_info[i] = {}
+            infos = {
+                # gymnasium >= 1.0 spelling
+                "final_obs": final, "_final_obs": done,
+                "final_info": final_info, "_final_info": done,
+                # legacy (gymnasium 0.29 / SB3 VecEnv-era) spelling
+                "final_observation": final, "_final_observation": done,
+            }
         return obs, reward, term, trunc, infos
 
     def render(self):  # pragma: no cover - headless container

@@ -24,28 +24,29 @@ def trace(log_dir: str = "/tmp/jax-trace"):
 
 
 def measure_steps_per_sec(fn, *args, n_warmup: int = 1, n_repeats: int = 3,
-                          steps_per_call: int = 1, pipelined: bool = True):
+                          steps_per_call: int = 1, pipelined: bool = True,
+                          batch: int = 8):
     """Throughput of a jitted callable. Returns (steps/s, seconds-per-call).
 
-    ``pipelined=True`` (default, same methodology as bench.py): dispatch a
-    batch of ``max(n_repeats, 2)`` calls back-to-back and block once (3
-    timing rounds, best taken), so the host/tunnel round trip (~20 ms/call
-    on this container's remote TPU) is amortized — this measures sustained
-    device throughput. ``pipelined=False`` blocks per call ``n_repeats``
-    times and measures end-to-end latency instead.
+    ``n_repeats`` is ALWAYS the number of independent timing rounds (best
+    taken), in both modes. ``pipelined=True`` (default, same methodology as
+    bench.py): each round dispatches ``batch`` calls back-to-back and
+    blocks once, so the host/tunnel round trip (~20 ms/call on this
+    container's remote TPU) is amortized — this measures sustained device
+    throughput. ``pipelined=False`` blocks per call and measures end-to-end
+    latency instead (``batch`` is ignored).
     """
     for _ in range(n_warmup):
         jax.block_until_ready(fn(*args))
+    best = float("inf")
     if pipelined:
-        batch = max(n_repeats, 2)  # a batch of 1 cannot amortize the RTT
-        best = float("inf")
-        for _ in range(3):
+        batch = max(batch, 2)  # a batch of 1 cannot amortize the RTT
+        for _ in range(n_repeats):
             t0 = time.perf_counter()
             outs = [fn(*args) for _ in range(batch)]
             jax.block_until_ready(outs)
             best = min(best, (time.perf_counter() - t0) / batch)
     else:
-        best = float("inf")
         for _ in range(n_repeats):
             t0 = time.perf_counter()
             jax.block_until_ready(fn(*args))

@@ -148,6 +148,46 @@ def test_truncation_at_episode_end():
     assert truncated
 
 
+def test_done_on_collision_and_completion_flags():
+    """done_on_collision / done_on_completion are honored (the reference
+    parsed done_on_completion at MultiRaceAviary.py:85 but never used it;
+    here both config keys are wired into finish_ctrl_step)."""
+    import dataclasses
+
+    from gym_pybullet_adrp_tpu.envs.race import finish_ctrl_step
+
+    config = load_config("getting_started")
+    track = track_from_config(config, 2)
+    spec_on = RaceSpec.from_config(config, 2, RaceMode.COMPARE)
+    assert spec_on.done_on_collision and spec_on.done_on_completion
+    spec_off = dataclasses.replace(
+        spec_on, done_on_collision=False, done_on_completion=False
+    )
+
+    state = race_reset(spec_on, track, jax.random.PRNGKey(0))
+    # drone 0 touching gate 0's top beam (opening center z + 0.225)
+    g0 = np.asarray(track.gates_nominal)[0]
+    pos = state.phys.pos.at[0].set(
+        jnp.asarray([g0[0], g0[1], g0[2] + 0.225], dtype=state.phys.pos.dtype)
+    )
+    crash_state = state._replace(phys=state.phys._replace(pos=pos))
+    st_on, *_ = finish_ctrl_step(spec_on, track, crash_state)
+    assert bool(st_on.eliminated[0])
+    st_off, *_ = finish_ctrl_step(spec_off, track, crash_state)
+    assert not bool(st_off.eliminated[0])
+
+    # all drones finished: terminates only under done_on_completion
+    fin_state = state._replace(finished=jnp.ones((2,), dtype=bool))
+    _, _, _, term_on, _, info_on = finish_ctrl_step(spec_on, track, fin_state)
+    assert bool(term_on) and bool(info_on["task_completed"])
+    _, _, _, term_off, _, info_off = finish_ctrl_step(
+        spec_off, track, fin_state
+    )
+    assert not bool(term_off)
+    # task_completed still reports completion even when it doesn't terminate
+    assert bool(info_off["task_completed"])
+
+
 @pytest.mark.slow
 def test_full_race_hardcoded_controller():
     """End-to-end: the scripted racer passes all 4 gates (flagship parity

@@ -251,3 +251,44 @@ def test_jax_vector_env_final_observation():
     # returned obs is the reset obs, not the terminal one
     np.testing.assert_allclose(obs[i], obs0[i], atol=1e-6)
     assert not np.allclose(final, obs0[i], atol=1e-6)
+    # gymnasium >= 1.0 spellings carry the same data, and the declared
+    # autoreset mode is SAME_STEP (ADVICE r1: 1.x consumers default to
+    # next-step autoreset and would otherwise misbootstrap V(s_T))
+    import gymnasium
+
+    np.testing.assert_array_equal(infos["_final_obs"], mask)
+    np.testing.assert_allclose(infos["final_obs"][i], final)
+    assert infos["final_info"][i] == {}
+    assert (
+        venv.metadata["autoreset_mode"]
+        == gymnasium.vector.AutoresetMode.SAME_STEP
+    )
+
+
+def test_jax_vector_env_step_before_reset_raises():
+    from gym_pybullet_adrp_tpu.envs import JaxVectorEnv
+
+    venv = JaxVectorEnv(2)
+    with pytest.raises(RuntimeError, match="reset"):
+        venv.step(np.zeros((2, 1, 4), dtype=np.float32))
+
+
+def test_jax_vector_env_single_transfer_contract():
+    """VALIDATION §5c: one explicit upload + one explicit download per
+    step. jax.transfer_guard('disallow') blocks any IMPLICIT transfer, so
+    a regression that fetches outputs piecemeal (e.g. np.asarray(reward))
+    or forgets the device_put fails loudly here."""
+    import jax
+
+    from gym_pybullet_adrp_tpu.envs import JaxVectorEnv
+
+    B = 2
+    venv = JaxVectorEnv(B, ctrl_freq=30)
+    act = np.full((B, 1, 4), 0.1, dtype=np.float32)
+    # warm up compilation outside the guard (compilation may transfer)
+    venv.reset()
+    venv.step(act)
+    with jax.transfer_guard("disallow"):
+        venv.reset()
+        obs, rew, term, trunc, _ = venv.step(act)
+    assert obs.shape[0] == B and rew.shape == (B,)
