@@ -61,22 +61,27 @@ def run(
     )
 
     # trajectory: CSV (t, x, y, z — parity with assets/beta-traj.csv) or a
-    # default circle
+    # default circle. Like the reference (examples/beta.py:123-137) the
+    # trajectory starts at TRAJ_TIME (motors are RC-gated off before it)
+    # and the controller gets a velocity feedforward.
+    from gym_pybullet_adrp_tpu.envs.beta import TRAJ_TIME
+
     NUM_STEPS = control_freq_hz * duration_sec
+    t_q = np.maximum(np.arange(NUM_STEPS) / control_freq_hz - TRAJ_TIME, 0.0)
     if traj_csv:
         raw = np.loadtxt(traj_csv, delimiter=",", skiprows=1)
-        t_q = np.arange(NUM_STEPS) / control_freq_hz
         TARGET = np.stack(
             [np.interp(t_q, raw[:, 0], raw[:, 1 + k]) for k in range(3)],
             axis=-1,
         )
     else:
-        t_traj = np.linspace(0, 2 * np.pi, NUM_STEPS)
+        t_traj = t_q / max(t_q[-1], 1e-9) * 2 * np.pi
         TARGET = np.stack(
             [0.5 * np.cos(t_traj) - 0.5, 0.5 * np.sin(t_traj),
              1.0 + 0 * t_traj],
             axis=-1,
         )
+    TARGET_VEL = np.gradient(TARGET, 1.0 / control_freq_hz, axis=0)
 
     obs, info = env.reset()
     action = np.zeros((num_drones, 4))
@@ -88,6 +93,7 @@ def run(
                 control_timestep=1 / control_freq_hz,
                 state=obs[j],
                 target_pos=TARGET[i],
+                target_vel=TARGET_VEL[i],
             )
             action[j, :] = [thrust, p, q, r]
         logger.log(drone=0, timestamp=i / control_freq_hz, state=obs[0])

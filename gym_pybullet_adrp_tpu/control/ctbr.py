@@ -61,17 +61,29 @@ def position_to_ctbr(cur_pos, cur_quat, cur_vel, target_pos,
     return norm_thrust, body_rates
 
 
-def rate_loop_rpm(params: DroneParams, thrust_norm, rate_sp, omega_body,
-                  time_constant=0.02):
-    """Body-rate P loop + X mixer -> per-motor rpm.
+def betaflight_motor_outputs(params: DroneParams, thrust_norm, rate_sp,
+                             omega_body, time_constant=0.02):
+    """In-graph Betaflight-SITL stand-in: rate loop -> NORMALIZED motor
+    outputs ``u`` in [0, 1], packed in the SITL servo-packet motor order.
 
-    thrust_norm: (...,) desired specific thrust (m/s^2, along body z);
-    rate_sp / omega_body: (..., 3) rad/s. Torque demand
-    tau = J (sp - w) / tc (first-order rate tracking with the given time
-    constant) is mixed with the IROS X geometry and converted per-motor
-    thrust -> rpm via F = kf·rpm². Replaces the Betaflight rate PID running
-    in external SITL processes.
+    The reference's external SITL processes answer each RC/FDM exchange
+    with 4 float motor outputs in [0, 1] (reference BetaAviary.py:162-170)
+    which ``_preprocessAction`` then remaps ``[2,1,3,0]`` and converts via
+    ``rpm = sqrt(MAX_THRUST/4/KF * u)`` (:239-267). This emulation emits
+    its per-motor thrust fractions pre-permuted with the INVERSE of that
+    remap, so the faithful `_preprocessAction` chain recovers the IROS
+    motor order end-to-end.
     """
+    forces = _rate_loop_forces(params, thrust_norm, rate_sp, omega_body,
+                               time_constant)
+    u = jnp.clip(forces / (params.max_thrust[..., None] / 4.0), 0.0, 1.0)
+    # inverse of the [2,1,3,0] remap: u_sitl = [f3, f1, f0, f2]
+    return u[..., jnp.asarray([3, 1, 0, 2])]
+
+
+def _rate_loop_forces(params: DroneParams, thrust_norm, rate_sp, omega_body,
+                      time_constant=0.02):
+    """Shared rate-law core: per-motor thrusts (IROS order), unclipped top."""
     dtype = thrust_norm.dtype
     total_thrust = jnp.clip(thrust_norm * params.mass, 0.0, params.max_thrust)
     tau = params.J * (rate_sp - omega_body) / jnp.asarray(time_constant, dtype=dtype)
@@ -87,6 +99,21 @@ def rate_loop_rpm(params: DroneParams, thrust_norm, rate_sp, omega_body,
     f1 = f + d_roll + d_pitch - d_yaw
     f2 = f - d_roll + d_pitch + d_yaw
     f3 = f - d_roll - d_pitch - d_yaw
-    forces = jnp.clip(jnp.stack([f0, f1, f2, f3], axis=-1), 0.0, None)
+    return jnp.clip(jnp.stack([f0, f1, f2, f3], axis=-1), 0.0, None)
+
+
+def rate_loop_rpm(params: DroneParams, thrust_norm, rate_sp, omega_body,
+                  time_constant=0.02):
+    """Body-rate P loop + X mixer -> per-motor rpm.
+
+    thrust_norm: (...,) desired specific thrust (m/s^2, along body z);
+    rate_sp / omega_body: (..., 3) rad/s. Torque demand
+    tau = J (sp - w) / tc (first-order rate tracking with the given time
+    constant) is mixed with the IROS X geometry and converted per-motor
+    thrust -> rpm via F = kf·rpm². Replaces the Betaflight rate PID running
+    in external SITL processes.
+    """
+    forces = _rate_loop_forces(params, thrust_norm, rate_sp, omega_body,
+                               time_constant)
     rpm = jnp.sqrt(forces / params.kf[..., None])
     return jnp.clip(rpm, 0.0, params.max_rpm[..., None])

@@ -248,14 +248,26 @@ def controller_mellinger(state: MellingerState, setpoint: Setpoint,
         + KP_Z * r_error[..., 2] + KD_Z * v_error[..., 2]
         + KI_Z * i_err[..., 2]
     )
-    # attitude-only branch (setpoint attitude in deg; thrust passthrough)
+    # attitude-only branch (setpoint attitude in deg). Firmware z: with
+    # mode.z == modeAbs the altitude PID runs WITHOUT the acceleration
+    # feedforward ("in case of a timeout ... ignore the last feedforward
+    # term"); otherwise the desired-force z is the constant 1 (level
+    # attitude direction), and the thrust output comes from
+    # setpoint.thrust via the modeDisable branch below.
     alt_x = -jnp.sin(setpoint.att_rpy[..., 1] * DEG_TO_RAD)
     alt_y = -jnp.sin(setpoint.att_rpy[..., 0] * DEG_TO_RAD)
+    alt_z = jnp.where(
+        setpoint.mode_xyz[..., 2] == MODE_ABS,
+        MASS * GRAVITY_MAGNITUDE
+        + KP_Z * r_error[..., 2] + KD_Z * v_error[..., 2]
+        + KI_Z * i_err[..., 2],
+        jnp.ones_like(tf_z),
+    )
     target_thrust = jnp.stack(
         [
             jnp.where(pos_mode, tf_x, alt_x),
             jnp.where(pos_mode, tf_y, alt_y),
-            jnp.where(pos_mode, tf_z, setpoint.thrust),
+            jnp.where(pos_mode, tf_z, alt_z),
         ],
         axis=-1,
     )
@@ -517,12 +529,19 @@ def step_controller(state: MellingerState, setpoint: Setpoint,
         state, setpoint, gyro_deg, fw, run & ~tumbled
     )
 
+    # the reference's tumble path early-returns BEFORE the tick-gating
+    # bookkeeping (_step_controller:383-391), so the last-call stamps are
+    # held while tumbling
     new_state = new_state._replace(
         tick=state.tick + 1,
         tumble_counter=tumble_counter,
         error_flag=state.error_flag | tumbled,
-        last_att_pid_call=jnp.where(att_due, cur_time, state.last_att_pid_call),
-        last_pos_pid_call=jnp.where(pos_due, cur_time, state.last_pos_pid_call),
+        last_att_pid_call=jnp.where(
+            att_due & ~tumbled, cur_time, state.last_att_pid_call
+        ),
+        last_pos_pid_call=jnp.where(
+            pos_due & ~tumbled, cur_time, state.last_pos_pid_call
+        ),
     )
     pwms = compute_pwms(control)
     # reference zeroes motors only while the tumble counter is saturated

@@ -7,10 +7,20 @@ collective-thrust-body-rates action pathway — is preserved as an in-graph
 rate controller (control/ctbr.py); external processes and sockets are gone,
 so the env jit/vmaps like everything else.
 
-API parity: ``step(action, i)`` with CTBR actions (thrust [N-normalized],
-roll/pitch/yaw rates [rad/s]); arming/trajectory-delay semantics
-(reference ARM_TIME/TRAJ_TIME, :126-150) are expressed by callers sending
-zero actions, as the examples do.
+The reference's UNIT-CONVERSION chain is reproduced faithfully
+(VERDICT r1 item 6):
+
+* ``ctbr2beta`` (reference :176-188): thrust + body rates -> RC channels
+  1000-2000 with the ENU->NED yaw sign flip, channel clipping, and the
+  integer round() quantization of the RC packet;
+* RC neutral before ``TRAJ_TIME`` and disarm before ``ARM_TIME``
+  (reference :139-150);
+* the SITL's normalized [0, 1] motor outputs -> ``_preprocessAction``'s
+  Betaflight motor remap ``[2, 1, 3, 0]`` + ``rpm = sqrt(MAX_THRUST / 4 /
+  KF * u)`` map (reference :239-267).
+
+API parity: ``step(action, i)`` with CTBR actions (thrust [m/s^2 specific],
+roll/pitch/yaw rates [rad/s]).
 """
 
 from typing import Optional
@@ -24,6 +34,49 @@ from gym_pybullet_adrp_tpu.control import ctbr
 from gym_pybullet_adrp_tpu.envs import core
 from gym_pybullet_adrp_tpu.envs.aviary import JaxAviaryBase
 from gym_pybullet_adrp_tpu.utils.enums import DroneModel, Physics
+
+# reference BetaAviary RC-packing constants (:94-95, :176-182)
+ARM_TIME = 1.0
+TRAJ_TIME = 1.5
+MIN_CHANNEL = 1000.0
+MAX_CHANNEL = 2000.0
+MAX_RATE = 360.0          # deg/s at full RC deflection
+BETA_MAX_THRUST = 40.9    # specific-thrust (m/s^2) at full throttle channel
+_MID = (MAX_CHANNEL + MIN_CHANNEL) / 2.0
+_D = (MAX_CHANNEL - MIN_CHANNEL) / 2.0
+_DEG = 180.0 / np.pi
+
+
+def ctbr2beta(thrust, roll, pitch, yaw):
+    """CTBR -> RC channels (thro, roll, pitch, yaw), 1000-2000 rounded.
+
+    Transcribes reference BetaAviary.ctbr2beta:176-188 + the RC packet's
+    ``round()`` quantization (:150-157): rates in rad/s map to +-MAX_RATE
+    deg/s full scale with the ENU->NED yaw sign flip; thrust in m/s^2 maps
+    to [MIN, MAX] over [0, BETA_MAX_THRUST].
+    """
+    thro = thrust / BETA_MAX_THRUST * _D * 2.0 + MIN_CHANNEL
+    rates = jnp.stack([roll, pitch, -yaw], axis=-1) * _DEG / MAX_RATE * _D + _MID
+    thro = jnp.clip(thro, MIN_CHANNEL, MAX_CHANNEL)
+    rates = jnp.clip(rates, MIN_CHANNEL, MAX_CHANNEL)
+    return jnp.round(thro), jnp.round(rates)
+
+
+def beta2ctbr(thro, rates_ch):
+    """RC channels -> (specific thrust m/s^2, body rates rad/s) — the
+    SITL-side decode (inverse of ``ctbr2beta``, undoing the NED yaw flip)."""
+    thrust = (thro - MIN_CHANNEL) / (2.0 * _D) * BETA_MAX_THRUST
+    rates = (rates_ch - _MID) / _D * MAX_RATE / _DEG
+    rates = rates * jnp.asarray([1.0, 1.0, -1.0], dtype=rates.dtype)
+    return thrust, rates
+
+
+def beta_motors_to_rpm(u, max_thrust, kf):
+    """Normalized SITL motor outputs -> RPMs (reference
+    _preprocessAction:239-267): Betaflight motor remap ``[2, 1, 3, 0]``
+    then ``rpm = sqrt(MAX_THRUST / 4 / KF * u)``."""
+    remapped = u[..., jnp.asarray([2, 1, 3, 0])]
+    return jnp.sqrt(max_thrust[..., None] / 4.0 / kf[..., None] * remapped)
 
 
 class BetaAviary(JaxAviaryBase):
@@ -66,17 +119,28 @@ class BetaAviary(JaxAviaryBase):
         cfg, params = self.cfg, self.params
 
         @jax.jit
-        def _step(state, ctbr_action):
-            """One env step: rate loop at every physics substep."""
+        def _step(state, ctbr_action, t):
+            """One env step through the faithful Betaflight chain:
+            CTBR -> RC channels (quantized) -> SITL decode + rate loop ->
+            normalized motor outputs -> remap + sqrt PWM->RPM map."""
             dt = jnp.asarray(cfg.pyb_timestep, dtype=ctbr_action.dtype)
 
+            # RC packet (reference step:139-157): neutral sticks until the
+            # trajectory starts; arming only raises aux1 (motors idle)
+            thro_cmd, rates_cmd = ctbr2beta(
+                ctbr_action[:, 0], ctbr_action[:, 1], ctbr_action[:, 2],
+                ctbr_action[:, 3],
+            )
+            live = t > TRAJ_TIME
+            thro = jnp.where(live, thro_cmd, MIN_CHANNEL)
+            rates_ch = jnp.where(live, rates_cmd, _MID)
+            thrust_sp, rate_sp = beta2ctbr(thro, rates_ch)
+
             def substep(st, _):
-                rpm = ctbr.rate_loop_rpm(
-                    params,
-                    ctbr_action[:, 0],
-                    ctbr_action[:, 1:4],
-                    st.phys.omega,
+                u = ctbr.betaflight_motor_outputs(
+                    params, thrust_sp, rate_sp, st.phys.omega
                 )
+                rpm = beta_motors_to_rpm(u, params.max_thrust, params.kf)
                 from gym_pybullet_adrp_tpu.ops import dynamics
 
                 phys = dynamics.substep(
@@ -135,11 +199,14 @@ class BetaAviary(JaxAviaryBase):
         return np.asarray(core.state_vector(self._state)), {"answer": 42}
 
     def step(self, action, i: int = 0):
-        """action: (N, 4) CTBR [thrust, p, q, r] (reference step:110-171)."""
+        """action: (N, 4) CTBR [thrust, p, q, r] (reference step:110-171);
+        ``i`` is the control-step index (t = i / CTRL_FREQ gates the RC
+        neutral/arming phases like the reference's TRAJ_TIME)."""
         action = jnp.asarray(
             np.reshape(action, (self.NUM_DRONES, 4)), dtype=self.dtype
         )
-        self._state, obs = self._jit_step(self._state, action)
+        t = jnp.asarray(i / self.CTRL_FREQ, dtype=self.dtype)
+        self._state, obs = self._jit_step(self._state, action, t)
         self.step_counter = int(self._state.step_counter)
         self.beta_action = np.asarray(action)
         return np.asarray(obs), -1, False, False, {"answer": 42}

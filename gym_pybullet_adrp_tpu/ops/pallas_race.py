@@ -355,10 +355,12 @@ def _kernel(*refs, n_ticks, dt, kf, km, arm, ground_z, col_h_half,
             mel.MASS * (saz + mel.GRAVITY_MAGNITUDE)
             + mel.KP_Z * r_err[2] + mel.KD_Z * v_err[2] + mel.KI_Z * i_ep[2]
         )
-        # attitude-only branch (STOP): att_rpy == 0 -> alt_x = alt_y = 0
+        # attitude-only branch (STOP): att_rpy == 0 -> alt_x = alt_y = 0;
+        # firmware's else-z is the constant 1 (mode.z is disabled whenever
+        # pos_mode is off on this path — eliminated/STOP rows)
         t0_ = jnp.where(pos_mode, tf_x, 0.0)
         t1_ = jnp.where(pos_mode, tf_y, 0.0)
-        t2_ = jnp.where(pos_mode, tf_z, sp_thrust)
+        t2_ = jnp.where(pos_mode, tf_z, 1.0)
         # yaw correction when not in position mode (legacy yaw from state)
         yaw_deg_state = yaw * RAD2DEG
         yr = yaw_deg_state * DEG2RAD
@@ -489,8 +491,10 @@ def _kernel(*refs, n_ticks, dt, kf, km, arm, ground_z, col_h_half,
         prev_rpms = [jnp.where(eliminated, 0.0, r) for r in rpm]
 
         new_tick = tick + 1.0
-        new_last_att = jnp.where(att_due, cur_time, st[55])
-        new_last_pos = jnp.where(pos_due, cur_time, st[54])
+        # reference holds the last-call stamps while tumbling (the tumble
+        # path early-returns before the gating bookkeeping)
+        new_last_att = jnp.where(att_due & ~tumbled, cur_time, st[55])
+        new_last_pos = jnp.where(pos_due & ~tumbled, cur_time, st[54])
         new_err = jnp.maximum(st[57], jnp.where(tumbled, 1.0, 0.0))
 
         return jnp.stack(
