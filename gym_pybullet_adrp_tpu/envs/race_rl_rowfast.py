@@ -56,29 +56,73 @@ W_CH = pallas_race.W_CHANNELS
 
 
 class RowRaceState(NamedTuple):
-    """All-rows training state.
+    """All-rows training state, held as the fused kernel's packed blocks.
 
-    Per-agent leaves are drone-major ``(N*Tb, 128)``; per-env leaves
-    (episode counter, track geometry) are ``(Tb, 128)``-shaped.
+    The pytree leaves are exactly the operand/result blocks of
+    ``ops/pallas_race_step.race_step_fused`` so a training scan carries
+    them launch-to-launch with ZERO repacking (the round-1 profile showed
+    the per-step stack/unstack of named rows cost ~17% of the whole env
+    step). Named views are exposed as properties; the row maps are
+    documented in ops/pallas_race_step.py.
     """
 
-    S: jnp.ndarray              # (58, N*Tb, 128) kernel state block
-    current_gate: jnp.ndarray   # (N*Tb, 128)
-    eliminated: jnp.ndarray     # (N*Tb, 128) 0/1
-    finished: jnp.ndarray       # (N*Tb, 128) 0/1
-    ep_steps: jnp.ndarray       # (Tb, 128) ctrl steps this episode
-    # per-env actual track geometry (== nominal unless randomized)
-    gates_xyyaw: jnp.ndarray    # (G, 3, Tb, 128) actual gate x, y, yaw
-    obst_xy: jnp.ndarray        # (O, 2, Tb, 128) actual obstacle x, y
-    # per-drone randomized inertia (reference _drone_init)
-    mass: jnp.ndarray           # (N*Tb, 128)
-    inertia: jnp.ndarray        # (3, N*Tb, 128)
+    S: jnp.ndarray    # (58, N*Tb, 128) kernel state block
+    R: jnp.ndarray    # (14, N*Tb, 128) race rows: gate/elim/finish/
+    #                 # shaping-gate, target_xyz, prev_pos, mass, J diag
+    GG: jnp.ndarray   # (3*G, Tb, 128) actual gate x, y, yaw rows
+    OO: jnp.ndarray   # (2*O, Tb, 128) actual obstacle x, y rows
+    EP: jnp.ndarray   # (Tb, 128) ctrl steps this episode
+
+    @property
+    def current_gate(self):
+        return self.R[0]
+
+    @property
+    def eliminated(self):
+        return self.R[1]
+
+    @property
+    def finished(self):
+        return self.R[2]
+
     # RewardWrapper shaping memory, per drone (reference wrapper.py:80-99;
     # the reference wrapper shapes drone 0 only — rows for every drone make
     # the same shaping available per agent for shared-policy self-play)
-    shape_gate_id: jnp.ndarray  # (N*Tb, 128)
-    target_xyz: jnp.ndarray     # (3, N*Tb, 128)
-    prev_pos: jnp.ndarray       # (3, N*Tb, 128)
+    @property
+    def shape_gate_id(self):
+        return self.R[3]
+
+    @property
+    def target_xyz(self):
+        return self.R[4:7]
+
+    @property
+    def prev_pos(self):
+        return self.R[7:10]
+
+    # per-drone randomized inertia (reference _drone_init)
+    @property
+    def mass(self):
+        return self.R[10]
+
+    @property
+    def inertia(self):
+        return self.R[11:14]
+
+    @property
+    def ep_steps(self):
+        return self.EP
+
+    # per-env actual track geometry (== nominal unless randomized)
+    @property
+    def gates_xyyaw(self):
+        g3 = self.GG.shape[0]
+        return self.GG.reshape(g3 // 3, 3, *self.GG.shape[1:])
+
+    @property
+    def obst_xy(self):
+        o2 = self.OO.shape[0]
+        return self.OO.reshape(o2 // 2, 2, *self.OO.shape[1:])
 
 
 def supports(spec: RaceSpec) -> bool:
@@ -101,7 +145,7 @@ def _track_consts(spec: RaceSpec, track: RaceTrack):
 
 def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
                  end_after_gate: int = 0, interpret: bool = False,
-                 per_drone_reward: bool = False):
+                 per_drone_reward: bool = False, fused: bool = True):
     """Build ``(reset(key) -> state, step(state, action, key) ->
     (state, obs, reward, done(B,)))`` in row form.
 
@@ -118,6 +162,12 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
     finish), reward ``(B, N)`` — the shared-policy self-play mode the
     reference's subprocess architecture could not express (its README
     states only one agent can be trained at a time).
+
+    ``fused=True`` (default) runs window + ctrl-rate tail + autoreset as
+    ONE Pallas launch (ops/pallas_race_step.py); ``fused=False`` keeps the
+    window-kernel + XLA-row-tail twin, which
+    tests/test_race_rowfast.py::test_fused_matches_unfused pins bitwise
+    against the fused path (same jax.random reset draws by construction).
     """
     assert supports(spec), "row-fast path: PYB physics, CF2X"
     assert n_envs % LANE == 0, f"n_envs must be a multiple of {LANE}"
@@ -214,9 +264,10 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
             )
         return gates_rows, obst_rows, mass_rows, j_rows
 
-    def reset_rows(key):
-        """Fresh per-agent S rows + reset pose rows (race_reset semantics:
-        one independent state-randomization draw per drone)."""
+    def reset_pose_rows(key):
+        """Reset pose draws (race_reset semantics: one independent
+        state-randomization draw per drone). Returns f32 rows
+        (px, py, pz, roll, pitch, yaw), each (T, 128)."""
         kp, kr = jax.random.split(key)
         if rs_pos is not None:
             lo_p, hi_p = rs_pos[:, 0], rs_pos[:, 1]
@@ -238,6 +289,13 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
         roll = init_roll + drpy[0]
         pitch = init_pitch + drpy[1]
         yaw = init_yaw + drpy[2]
+        # the row path is f32-native regardless of the ambient x64 flag
+        return (px.astype(f32), py.astype(f32), pz.astype(f32),
+                roll.astype(f32), pitch.astype(f32), yaw.astype(f32))
+
+    def reset_rows(key):
+        """Fresh per-agent S rows + reset pose rows."""
+        px, py, pz, roll, pitch, yaw = reset_pose_rows(key)
         cr, sr = jnp.cos(roll / 2), jnp.sin(roll / 2)
         cp, sp = jnp.cos(pitch / 2), jnp.sin(pitch / 2)
         cy, sy = jnp.cos(yaw / 2), jnp.sin(yaw / 2)
@@ -271,19 +329,19 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
         # initializes from the first obs, which resolves visibility; start
         # positions sit outside VISIBILITY_RANGE so nominal is what the
         # wrapper sees — but the progress deltas cancel the constant anyway)
-        tgt = jnp.stack(
-            [_env_rows(gates_rows[0, 0]),
+        R = jnp.stack(
+            [zz, zz, zz, zz,                      # gate/elim/finish/shape
+             _env_rows(gates_rows[0, 0]),         # target_xyz
              _env_rows(gates_rows[0, 1]),
-             jnp.full((T, LANE), gates[0, 2], dtype=f32)], axis=0,
+             jnp.full((T, LANE), gates[0, 2], dtype=f32),
+             px, py, pz,                          # prev_pos
+             mass_rows, j_rows[0], j_rows[1], j_rows[2]], axis=0,
         )
         return RowRaceState(
-            S=S, current_gate=zz, eliminated=zz, finished=zz,
-            ep_steps=zz_env,
-            gates_xyyaw=gates_rows, obst_xy=obst_rows,
-            mass=mass_rows, inertia=j_rows,
-            shape_gate_id=zz,
-            target_xyz=tgt,
-            prev_pos=jnp.stack([px, py, pz], axis=0),
+            S=S, R=R,
+            GG=gates_rows.reshape(3 * G, Tb, LANE),
+            OO=obst_rows.reshape(2 * O, Tb, LANE),
+            EP=zz_env,
         )
 
     def build_W(state: RowRaceState, action_rows):
@@ -661,33 +719,34 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
         d_env = done.astype(px.dtype)
         d_rows = done_rows.astype(px.dtype)
         S = jnp.where(done_rows[None], S_reset, S)
+        R_new = jnp.stack(
+            [
+                current_gate * (1 - d_rows),
+                eliminated * (1 - d_rows),
+                finished * (1 - d_rows),
+                new_gate_id * (1 - d_rows),
+                jnp.where(done_rows, _env_rows(gates_rows[0, 0]), new_tx),
+                jnp.where(done_rows, _env_rows(gates_rows[0, 1]), new_ty),
+                jnp.where(done_rows, jnp.full_like(px, gates[0, 2]), new_tz),
+                jnp.where(done_rows, rpx, px),
+                jnp.where(done_rows, rpy_, py),
+                jnp.where(done_rows, rpz, pz),
+                jnp.where(done_rows, mass_rows, state.mass),
+                jnp.where(done_rows, j_rows[0], state.inertia[0]),
+                jnp.where(done_rows, j_rows[1], state.inertia[1]),
+                jnp.where(done_rows, j_rows[2], state.inertia[2]),
+            ],
+            axis=0,
+        )
         new_state = RowRaceState(
-            S=S,
-            current_gate=current_gate * (1 - d_rows),
-            eliminated=eliminated * (1 - d_rows),
-            finished=finished * (1 - d_rows),
-            ep_steps=ep_steps * (1 - d_env).astype(ep_steps.dtype),
-            gates_xyyaw=jnp.where(
-                done[None, None], gates_rows, state.gates_xyyaw
+            S=S, R=R_new,
+            GG=jnp.where(
+                done[None], gates_rows.reshape(3 * G, Tb, LANE), state.GG
             ),
-            obst_xy=jnp.where(done[None, None], obst_rows, state.obst_xy),
-            mass=jnp.where(done_rows, mass_rows, state.mass),
-            inertia=jnp.where(done_rows[None], j_rows, state.inertia),
-            shape_gate_id=new_gate_id * (1 - d_rows),
-            target_xyz=jnp.where(
-                done_rows[None],
-                jnp.stack([
-                    _env_rows(gates_rows[0, 0]),
-                    _env_rows(gates_rows[0, 1]),
-                    jnp.full_like(px, gates[0, 2]),
-                ], axis=0),
-                jnp.stack([new_tx, new_ty, new_tz], axis=0),
+            OO=jnp.where(
+                done[None], obst_rows.reshape(2 * O, Tb, LANE), state.OO
             ),
-            prev_pos=jnp.where(
-                done_rows[None],
-                jnp.stack([rpx, rpy_, rpz], axis=0),
-                jnp.stack([px, py, pz], axis=0),
-            ),
+            EP=ep_steps * (1 - d_env).astype(ep_steps.dtype),
         )
         # post-done obs = fresh episode's first obs: kinematics of the reset
         # pose + nominal gate/obstacle poses (start positions sit outside
@@ -735,4 +794,82 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
             reward_out = reward.reshape(n_envs)
         return new_state, obs, reward_out, done.reshape(n_envs)
 
-    return reset, step
+    # ---- fused single-launch step (ops/pallas_race_step.py) ----------------
+    from gym_pybullet_adrp_tpu.ops import pallas_race_step
+
+    spec_tail = (
+        N, Tb, G, O,
+        np.asarray(gates, dtype=np.float32),
+        np.asarray(obstacles, dtype=np.float32),
+        tuple(float(v) for v in bounds_hi),
+        tuple(float(h) for h in heights),
+        compete, per_drone_reward, int(end_after_gate),
+        spec.done_on_collision, spec.done_on_completion,
+        float(spec.episode_len_sec), float(spec.pyb_freq),
+        drone_r, half_h,
+    )
+
+    def step_fused(state: RowRaceState, action, key):
+        """Same contract as ``step``, one Pallas launch for window + tail +
+        autoreset. Reset draws are sampled here with the same key splits as
+        the unfused path, so both paths are bitwise-identical."""
+        a = jnp.clip(action, -1.0, 1.0) * jnp.asarray([1.0, 1.0, 1.0, np.pi])
+        if N == 1 and a.ndim == 2:
+            action_rows = a.T.reshape(4, T, LANE)
+        else:
+            action_rows = a.transpose(2, 1, 0).reshape(4, T, LANE)
+        if spec.disturbances:
+            key, k_noise = jax.random.split(key)
+            noise = (spec.action_noise_std, spec.dyn_dist_low,
+                     spec.dyn_dist_high)
+            seed, noise_rows = None, None
+            if interpret:
+                kw_, ka_ = jax.random.split(k_noise)
+                lo = jnp.asarray(spec.dyn_dist_low, dtype=f32)
+                hi = jnp.asarray(spec.dyn_dist_high, dtype=f32)
+                nt = spec.steps_per_ctrl
+                wind = lo[:, None, None] + jax.random.uniform(
+                    kw_, (nt, 3, T, LANE), dtype=f32
+                ) * (hi - lo)[:, None, None]
+                act_n = jax.random.normal(
+                    ka_, (nt, 4, T, LANE), dtype=f32
+                ) * spec.action_noise_std
+                noise_rows = jnp.concatenate([wind, act_n], axis=1)
+            else:
+                seed = jax.random.randint(
+                    k_noise, (1,), 0, jnp.iinfo(jnp.int32).max,
+                    dtype=jnp.int32,
+                )
+        else:
+            noise, seed, noise_rows = None, None, None
+        k_state, k_track = jax.random.split(key)
+        pose = reset_pose_rows(k_state)
+        gates_rows, obst_rows, mass_rows, j_rows = reset_track_rows(k_track)
+        RST = jnp.stack(
+            list(pose) + [mass_rows, j_rows[0], j_rows[1], j_rows[2]], axis=0
+        )
+        S2, R2, GG2, OO2, EP2, OBS, REW, DONE = \
+            pallas_race_step.race_step_fused(
+                kf, km, arm, ground_z,
+                state.S, action_rows.astype(f32), state.R, state.GG,
+                state.OO, state.EP, RST.astype(f32),
+                gates_rows.reshape(3 * G, Tb, LANE),
+                obst_rows.reshape(2 * O, Tb, LANE),
+                n_ticks=spec.steps_per_ctrl, dt=1.0 / spec.pyb_freq,
+                spec_tail=spec_tail, interpret=interpret, noise=noise,
+                seed=seed, noise_rows=noise_rows,
+            )
+        new_state = RowRaceState(S=S2, R=R2, GG=GG2, OO=OO2, EP=EP2)
+        C = OBS.shape[0]
+        if N == 1:
+            obs = OBS.reshape(C, n_envs).T
+        else:
+            obs = OBS.reshape(C, N, n_envs).transpose(2, 1, 0)
+        if per_drone_reward:
+            reward_out = REW.reshape(N, n_envs).T
+        else:
+            reward_out = REW[:Tb].reshape(n_envs)
+        done = DONE.reshape(n_envs) > 0.5
+        return new_state, obs, reward_out, done
+
+    return reset, (step_fused if fused else step)

@@ -69,13 +69,16 @@ def _atan_core(x):
 
 def _atan(x):
     """Branchless float32 atan via cephes range reduction (Mosaic has no
-    atan2/asin lowering)."""
+    atan2/asin lowering). One division total: the range-reduction branches
+    share a selected numerator/denominator."""
     ax = jnp.abs(x)
     big = ax > 2.414213562373095      # tan(3pi/8)
     mid = ax > 0.4142135623730950     # tan(pi/8)
-    x_big = -1.0 / jnp.where(ax > 1e-30, ax, 1e-30)
-    x_mid = (ax - 1.0) / (ax + 1.0)
-    xr = jnp.where(big, x_big, jnp.where(mid, x_mid, ax))
+    num = jnp.where(big, -1.0, jnp.where(mid, ax - 1.0, ax))
+    den = jnp.where(
+        big, jnp.maximum(ax, 1e-30), jnp.where(mid, ax + 1.0, 1.0)
+    )
+    xr = num / den
     base = jnp.where(big, np.pi / 2, jnp.where(mid, np.pi / 4, 0.0))
     y = base + _atan_core(xr)
     return jnp.where(x < 0, -y, y)
@@ -90,8 +93,20 @@ def _atan2(y, x):
 
 
 def _asin(x):
+    """Direct cephes asinf polynomial (float32 ~1 ulp) — much cheaper than
+    the former atan2(x, sqrt(1-x^2)) route (no extra atan range reduction,
+    one sqrt only on the |x| > 0.5 branch's operand)."""
     x = jnp.clip(x, -1.0, 1.0)
-    return _atan2(x, jnp.sqrt(jnp.maximum(1.0 - x * x, 1e-20)))
+    a = jnp.abs(x)
+    big = a > 0.5
+    zz = jnp.where(big, 0.5 * (1.0 - a), a * a)
+    s = jnp.where(big, jnp.sqrt(zz), a)
+    p = (
+        ((((4.2163199048e-2 * zz + 2.4181311049e-2) * zz + 4.5470025998e-2)
+          * zz + 7.4953002686e-2) * zz + 1.6666752422e-1) * zz * s + s
+    )
+    r = jnp.where(big, np.pi / 2 - 2.0 * p, p)
+    return jnp.where(x < 0, -r, r)
 
 
 def _rot_cols_from_rpy(r, p, y):
@@ -105,8 +120,21 @@ def _rot_cols_from_rpy(r, p, y):
     return c0, c1, c2
 
 
+def _u01_factory(row_shape):
+    def _u01(nch):
+        """nch rows of uniform [0, 1) floats from raw PRNG bits."""
+        bits = pltpu.prng_random_bits((nch,) + row_shape)
+        u = pltpu.bitcast(
+            (pltpu.bitcast(bits, jnp.uint32) >> 9) | jnp.uint32(0x3F800000),
+            jnp.float32,
+        )  # [1, 2)
+        return u - 1.0
+
+    return _u01
+
+
 def _kernel(*refs, n_ticks, dt, kf, km, arm, ground_z, col_h_half,
-            noise=None, noise_rows=False):
+            noise=None, noise_rows=False, unroll=True):
     """``noise``: (act_std, wind_lo, wind_hi) enables per-tick disturbances.
     Two sampling modes: in-kernel TPU PRNG (compiled path; ``seed_ref``
     leads the refs) or a precomputed additive-noise input block
@@ -119,38 +147,72 @@ def _kernel(*refs, n_ticks, dt, kf, km, arm, ground_z, col_h_half,
     elif noise is not None:
         seed_ref, state_ref, win_ref, out_ref = refs
         pltpu.prng_seed(seed_ref[0])
-        act_std, wind_lo, wind_hi = noise
     else:
         state_ref, win_ref, out_ref = refs
     st = state_ref[:]
     w = win_ref[:]
+
+    wv = dict(
+        sp_pos=(w[0], w[1], w[2]),
+        sp_vel=(w[3], w[4], w[5]),
+        sp_acc=(w[6], w[7], w[8]),
+        sp_rate=(w[9], w[10], w[11]),
+        sp_yaw_quat_deg=w[12],
+        sp_thrust=w[13],
+        pos_mode=w[14] > 0.5,
+        z_disable=w[15] > 0.5,
+        planner=w[16] > 0.5,
+        t_begin=w[17],
+        duration=w[18],
+        eliminated=w[19] > 0.5,
+        coeffs=w[20:52],          # (32, T, 128)
+        mass=w[52],
+        J=(w[53], w[54], w[55]),
+    )
+    out_ref[:] = _window_loop(
+        st, wv, n_ticks=n_ticks, dt=dt, kf=kf, km=km, arm=arm,
+        ground_z=ground_z, noise=noise, noise_blk=noise_blk, unroll=unroll,
+    )
+
+
+def _window_loop(st, wv, *, n_ticks, dt, kf, km, arm, ground_z,
+                 noise=None, noise_blk=None, unroll=True):
+    """The 20-tick firmware window: physics + commander + Mellinger +
+    power distribution, fully VMEM-resident. ``wv`` is the unpacked
+    window-static dict (see the W channel map); ``wv['coeffs'] is None``
+    statically elides the poly7 planner evaluation (the RL FULLSTATE path
+    never uses it). Returns the final S block."""
     row_shape = st.shape[1:]  # (T, 128)
+    _u01 = _u01_factory(row_shape)
+    if noise is not None and noise_blk is None:
+        act_std, wind_lo, wind_hi = noise
 
-    def _u01(nch):
-        """nch rows of uniform [0, 1) floats from raw PRNG bits."""
-        bits = pltpu.prng_random_bits((nch,) + row_shape)
-        u = pltpu.bitcast(
-            (pltpu.bitcast(bits, jnp.uint32) >> 9) | jnp.uint32(0x3F800000),
-            jnp.float32,
-        )  # [1, 2)
-        return u - 1.0
-
-    sp_pos = (w[0], w[1], w[2])
-    sp_vel = (w[3], w[4], w[5])
-    sp_acc = (w[6], w[7], w[8])
-    sp_rate = (w[9], w[10], w[11])
-    sp_yaw_quat_deg = w[12]
-    sp_thrust = w[13]
-    pos_mode = w[14] > 0.5
-    z_disable = w[15] > 0.5
-    planner = w[16] > 0.5
-    t_begin = w[17]
-    duration = w[18]
-    eliminated = w[19] > 0.5
-    coeffs = w[20:52]          # (32, T, 128)
-    mass = w[52]
-    Jx, Jy, Jz = w[53], w[54], w[55]
+    sp_pos = wv["sp_pos"]
+    sp_vel = wv["sp_vel"]
+    sp_acc = wv["sp_acc"]
+    sp_rate = wv["sp_rate"]
+    sp_yaw_quat_deg = wv["sp_yaw_quat_deg"]
+    sp_thrust = wv["sp_thrust"]
+    pos_mode = wv["pos_mode"]
+    z_disable = wv["z_disable"]
+    planner = wv["planner"]
+    t_begin = wv["t_begin"]
+    duration = wv["duration"]
+    eliminated = wv["eliminated"]
+    coeffs = wv["coeffs"]
+    mass = wv["mass"]
+    Jx, Jy, Jz = wv["J"]
     arm_s = float(arm / np.sqrt(2.0))  # plain float: no f64 promotion
+    inv_dt = float(1.0 / dt)
+    inv_dt_g = float(1.0 / dt / 9.8)
+    # loop-invariant reciprocals (mass/J are window-static rows): the
+    # per-tick /mass, /J divisions become multiplies
+    inv_mass = 1.0 / mass
+    inv_Jx, inv_Jy, inv_Jz = 1.0 / Jx, 1.0 / Jy, 1.0 / Jz
+    xc_static = None
+    if coeffs is None:
+        dy0 = sp_yaw_quat_deg * DEG2RAD
+        xc_static = (jnp.cos(dy0), jnp.sin(dy0))
 
     def poly_eval(t_rel):
         """Evaluate pos/vel/acc of the 4-channel poly7 at clamped t_rel."""
@@ -201,12 +263,13 @@ def _kernel(*refs, n_ticks, dt, kf, km, arm, ground_z, col_h_half,
             fx = fx + (wind_lo[0] + uw[0] * (wind_hi[0] - wind_lo[0]))
             fy = fy + (wind_lo[1] + uw[1] * (wind_hi[1] - wind_lo[1]))
             fz = fz + (wind_lo[2] + uw[2] * (wind_hi[2] - wind_lo[2]))
-        vx = vx + dt * fx / mass
-        vy = vy + dt * fy / mass
-        vz = vz + dt * (fz / mass - 9.8)
-        wx = wx + dt * tx / Jx
-        wy = wy + dt * ty / Jy
-        wz = wz + dt * tz / Jz
+        # inv_mass/inv_J are hoisted window-statics: 6 divisions/tick -> mults
+        vx = vx + dt * fx * inv_mass
+        vy = vy + dt * fy * inv_mass
+        vz = vz + dt * (fz * inv_mass - 9.8)
+        wx = wx + dt * tx * inv_Jx
+        wy = wy + dt * ty * inv_Jy
+        wz = wz + dt * tz * inv_Jz
         px = px + dt * vx
         py = py + dt * vy
         pz = pz + dt * vz
@@ -222,17 +285,27 @@ def _kernel(*refs, n_ticks, dt, kf, km, arm, ground_z, col_h_half,
         ox = r00 * wx + r01 * wy + r02 * wz
         oy = r10 * wx + r11 * wy + r12 * wz
         oz = r20 * wx + r21 * wy + r22 * wz
-        n = jnp.sqrt(ox * ox + oy * oy + oz * oz)
-        safe = jnp.maximum(n, 1e-12)
-        theta = n * (dt * 0.5)
-        s_n = jnp.sin(theta) / safe
-        cth = jnp.cos(theta)
+        # sinc-form small-angle quaternion update. theta = |w| dt/2 is
+        # bounded: |w| > 20 eliminates at ctrl rate (max 20 ticks of
+        # bounded torque later, |w| <~ 120 -> theta <~ 0.12), and
+        # eliminated/grounded rows have zero torque so |w| never grows
+        # past that. The 7th-order series for sin(theta)/|w| =
+        # (dt/2)(1 - t2/6 + t4/120 - t6/5040) and cos is f32-exact to
+        # theta ~ 0.5 and avoids the hardware sin/cos + divide.
+        n2 = ox * ox + oy * oy + oz * oz
+        t2 = n2 * (dt * dt * 0.25)
+        t4 = t2 * t2
+        t6 = t4 * t2
+        s_n = (dt * 0.5) * (
+            1.0 - t2 * (1.0 / 6.0) + t4 * (1.0 / 120.0) - t6 * (1.0 / 5040.0)
+        )
+        cth = 1.0 - t2 * 0.5 + t4 * (1.0 / 24.0) - t6 * (1.0 / 720.0)
         ux, uy, uz = ox * s_n, oy * s_n, oz * s_n
         nqx = cth * qx + qw * ux + (uy * qz - uz * qy)
         nqy = cth * qy + qw * uy + (uz * qx - ux * qz)
         nqz = cth * qz + qw * uz + (ux * qy - uy * qx)
         nqw = cth * qw - (ux * qx + uy * qy + uz * qz)
-        keep = n <= 1e-8
+        keep = n2 <= 1e-16  # |w| <= 1e-8, on the squared norm (no sqrt)
         qx = jnp.where(keep, qx, nqx)
         qy = jnp.where(keep, qy, nqy)
         qz = jnp.where(keep, qz, nqz)
@@ -250,45 +323,65 @@ def _kernel(*refs, n_ticks, dt, kf, km, arm, ground_z, col_h_half,
         sinr = 2.0 * (qw * qx + qy * qz)
         cosr = 1.0 - 2.0 * (qx * qx + qy * qy)
         roll = _atan2(sinr, cosr)
-        pitch = _asin(2.0 * (qw * qy - qz * qx))
-        yaw = _atan2(
-            2.0 * (qw * qz + qx * qy), 1.0 - 2.0 * (qy * qy + qz * qz)
-        )
+        sinp = jnp.clip(2.0 * (qw * qy - qz * qx), -1.0, 1.0)
+        pitch = _asin(sinp)
+        siny = 2.0 * (qw * qz + qx * qy)
+        cosy_r = 1.0 - 2.0 * (qy * qy + qz * qz)
+        yaw = _atan2(siny, cosy_r)
+        # trig of rpy, derived algebraically from the same quat-matrix
+        # entries (cos(asin x) = sqrt(1-x^2); the yaw/roll sin-cos pairs
+        # are the matrix entries over cos(pitch)) — replaces 6 hardware
+        # sin/cos. Gimbal-lock rows (|pitch| -> 90 deg) get the eps-guarded
+        # large-but-finite values; those rows are transient tumbles.
+        cp2 = jnp.maximum(1.0 - sinp * sinp, 1e-12)
+        inv_cp = jax.lax.rsqrt(cp2)   # >= 1e-12 so no extra guard needed
+        cp = cp2 * inv_cp             # sqrt(x) = x * rsqrt(x)
+        sp_ = sinp
+        cyw = cosy_r * inv_cp
+        syw = siny * inv_cp
+        cr = cosr * inv_cp
+        sr = sinr * inv_cp
 
         # ---- 2. commander per-tick setpoint -------------------------------
         tick = st[53]
         t_now = tick * dt
-        pe = poly_eval(t_now - t_begin)
-        spx = jnp.where(planner, pe[0][0], sp_pos[0])
-        spy = jnp.where(planner, pe[1][0], sp_pos[1])
-        spz = jnp.where(planner, pe[2][0], sp_pos[2])
-        svx = jnp.where(planner, pe[0][1], sp_vel[0])
-        svy = jnp.where(planner, pe[1][1], sp_vel[1])
-        svz = jnp.where(planner, pe[2][1], sp_vel[2])
-        sax = jnp.where(planner, pe[0][2], sp_acc[0])
-        say = jnp.where(planner, pe[1][2], sp_acc[1])
-        saz = jnp.where(planner, pe[2][2], sp_acc[2])
-        srx = jnp.where(planner, 0.0, sp_rate[0])
-        sry = jnp.where(planner, 0.0, sp_rate[1])
-        srz = jnp.where(planner, pe[3][1] * RAD2DEG, sp_rate[2])
-        desired_yaw_deg = jnp.where(
-            planner, pe[3][0] * RAD2DEG, sp_yaw_quat_deg
-        )
+        if coeffs is None:
+            # RL FULLSTATE path: no poly7 planner — statically elided
+            spx, spy, spz = sp_pos
+            svx, svy, svz = sp_vel
+            sax, say, saz = sp_acc
+            srx, sry, srz = sp_rate
+            desired_yaw_deg = sp_yaw_quat_deg
+        else:
+            pe = poly_eval(t_now - t_begin)
+            spx = jnp.where(planner, pe[0][0], sp_pos[0])
+            spy = jnp.where(planner, pe[1][0], sp_pos[1])
+            spz = jnp.where(planner, pe[2][0], sp_pos[2])
+            svx = jnp.where(planner, pe[0][1], sp_vel[0])
+            svy = jnp.where(planner, pe[1][1], sp_vel[1])
+            svz = jnp.where(planner, pe[2][1], sp_vel[2])
+            sax = jnp.where(planner, pe[0][2], sp_acc[0])
+            say = jnp.where(planner, pe[1][2], sp_acc[1])
+            saz = jnp.where(planner, pe[2][2], sp_acc[2])
+            srx = jnp.where(planner, 0.0, sp_rate[0])
+            sry = jnp.where(planner, 0.0, sp_rate[1])
+            srz = jnp.where(planner, pe[3][1] * RAD2DEG, sp_rate[2])
+            desired_yaw_deg = jnp.where(
+                planner, pe[3][0] * RAD2DEG, sp_yaw_quat_deg
+            )
 
         # ---- 3. Mellinger sensors ------------------------------------------
         prev_r, prev_p, prev_y = st[21], st[22], st[23]
         pvx, pvy, pvz = st[24], st[25], st[26]
-        rate_r = (roll - prev_r) / dt
-        rate_p = (pitch - prev_p) / dt
-        rate_y = (yaw - prev_y) / dt
-        accx = (vx - pvx) / dt / 9.8
-        accy = (vy - pvy) / dt / 9.8
-        accz = (vz - pvz) / dt / 9.8 + 1.0
+        rate_r = (roll - prev_r) * inv_dt
+        rate_p = (pitch - prev_p) * inv_dt
+        rate_y = (yaw - prev_y) * inv_dt
+        accx = (vx - pvx) * inv_dt_g
+        accy = (vy - pvy) * inv_dt_g
+        accz = (vz - pvz) * inv_dt_g + 1.0
         # body rot = inv(R_intrinsicXYZ(rpy)): acc_body = R_intr^T @ acc
         # R_intr = Rx(r)Ry(p)Rz(y); rows of R_intr^T are columns of R_intr
-        cr, sr = jnp.cos(roll), jnp.sin(roll)
-        cp, sp_ = jnp.cos(pitch), jnp.sin(pitch)
-        cyw, syw = jnp.cos(yaw), jnp.sin(yaw)
+        # (cr..syw computed from the quat matrix above)
         # R_intr columns (Rx@Ry@Rz):
         a00 = cp * cyw
         a01 = -cp * syw
@@ -361,32 +454,44 @@ def _kernel(*refs, n_ticks, dt, kf, km, arm, ground_z, col_h_half,
         t0_ = jnp.where(pos_mode, tf_x, 0.0)
         t1_ = jnp.where(pos_mode, tf_y, 0.0)
         t2_ = jnp.where(pos_mode, tf_z, 1.0)
-        # yaw correction when not in position mode (legacy yaw from state)
-        yaw_deg_state = yaw * RAD2DEG
-        yr = yaw_deg_state * DEG2RAD
-        cyr, syr = jnp.cos(yr), jnp.sin(yr)
-        t0 = jnp.where(pos_mode, t0_, t0_ * cyr - t1_ * syr)
-        t1 = jnp.where(pos_mode, t1_, t0_ * syr + t1_ * cyr)
+        # yaw correction when not in position mode (legacy yaw from state;
+        # the deg->rad round trip is elided — cos/sin(yaw) reused, only
+        # STOP'd/eliminated rows take this branch and their thrust is 0)
+        t0 = jnp.where(pos_mode, t0_, t0_ * cyw - t1_ * syw)
+        t1 = jnp.where(pos_mode, t1_, t0_ * syw + t1_ * cyw)
         t2 = t2_
 
         # state rotation matrix columns from the *extrinsic* rpy (matches
-        # from_euler_xyz(rpy) in the XLA path)
-        (c0x, c0y, c0z), (c1x, c1y, c1z), (c2x, c2y, c2z) = \
-            _rot_cols_from_rpy(roll, pitch, yaw)
+        # from_euler_xyz(rpy) in the XLA path); trig shared with the
+        # sensor-rotation block above
+        c0x, c0y, c0z = cyw * cp, syw * cp, -sp_
+        c1x = cyw * sp_ * sr - syw * cr
+        c1y = syw * sp_ * sr + cyw * cr
+        c1z = cp * sr
+        c2x = cyw * sp_ * cr + syw * sr
+        c2y = syw * sp_ * cr - cyw * sr
+        c2z = cp * cr
         current_thrust = t0 * c2x + t1 * c2y + t2 * c2z
 
-        tnorm = jnp.sqrt(t0 * t0 + t1 * t1 + t2 * t2)
-        tsafe = jnp.maximum(tnorm, 1e-12)
-        zdx, zdy, zdz = t0 / tsafe, t1 / tsafe, t2 / tsafe
-        dy_rad = desired_yaw_deg * DEG2RAD
-        xcx, xcy = jnp.cos(dy_rad), jnp.sin(dy_rad)
+        inv_t = jax.lax.rsqrt(
+            jnp.maximum(t0 * t0 + t1 * t1 + t2 * t2, 1e-24)
+        )
+        zdx, zdy, zdz = t0 * inv_t, t1 * inv_t, t2 * inv_t
+        if coeffs is None:
+            # desired yaw is window-static on the FULLSTATE path: its
+            # cos/sin were hoisted out of the tick loop
+            xcx, xcy = xc_static
+        else:
+            dy_rad = desired_yaw_deg * DEG2RAD
+            xcx, xcy = jnp.cos(dy_rad), jnp.sin(dy_rad)
         # yd = normalize(zd x xc)
         ydx = zdy * 0.0 - zdz * xcy
         ydy = zdz * xcx - zdx * 0.0
         ydz = zdx * xcy - zdy * xcx
-        yn = jnp.sqrt(ydx * ydx + ydy * ydy + ydz * ydz)
-        ysafe = jnp.maximum(yn, 1e-12)
-        ydx, ydy, ydz = ydx / ysafe, ydy / ysafe, ydz / ysafe
+        inv_y = jax.lax.rsqrt(
+            jnp.maximum(ydx * ydx + ydy * ydy + ydz * ydz, 1e-24)
+        )
+        ydx, ydy, ydz = ydx * inv_y, ydy * inv_y, ydz * inv_y
         # xd = yd x zd
         xdx = ydy * zdz - ydz * zdy
         xdy = ydz * zdx - ydx * zdz
@@ -408,8 +513,9 @@ def _kernel(*refs, n_ticks, dt, kf, km, arm, ground_z, col_h_half,
         ew_x = sp_om_r - om_r
         ew_y = -sp_om_p - om_p
         ew_z = srz * DEG2RAD - om_y
-        err_d_roll = ((sp_om_r - st[47]) - (om_r - st[45])) / m_dt
-        err_d_pitch = ((-sp_om_p - st[48]) - (om_p - st[46])) / m_dt
+        inv_m_dt = 1.0 / m_dt  # python float: constant mult, not a division
+        err_d_roll = ((sp_om_r - st[47]) - (om_r - st[45])) * inv_m_dt
+        err_d_pitch = ((-sp_om_p - st[48]) - (om_p - st[46])) * inv_m_dt
 
         i_m = [st[42], st[43], st[44]]
         i_m[0] = jnp.clip(i_m[0] - eR_x * m_dt, -mel.I_RANGE_M_XY, mel.I_RANGE_M_XY)
@@ -448,19 +554,23 @@ def _kernel(*refs, n_ticks, dt, kf, km, arm, ground_z, col_h_half,
         new_prev_sp_p = sel(-sp_om_p, st[48])
 
         # ---- 6. power distribution + motor pipeline -----------------------
-        r2 = ctl_r / 2.0
-        p2 = ctl_p / 2.0
+        r2 = ctl_r * 0.5
+        p2 = ctl_p * 0.5
         mth = [
             ctl_t - r2 + p2 + ctl_y,
             ctl_t - r2 - p2 - ctl_y,
             ctl_t + r2 - p2 + ctl_y,
             ctl_t + r2 + p2 - ctl_y,
         ]
+        # constant-folded voltage curve: vv = clip(v)*(60/65535);
+        # pwm = min(volts/3, 1)*65535 with volts = -6.239e-4 vv^2 + 0.088 vv
+        k_in = 60.0 / 65535.0
+        kq = -0.0006239 * k_in * k_in * (65535.0 / 3.0)
+        kl = 0.088 * k_in * (65535.0 / 3.0)
         pwms = []
         for v in mth:
-            vv = jnp.clip(v, 0.0, 65535.0) / 65535.0 * 60.0
-            volts = -0.0006239 * vv * vv + 0.088 * vv
-            pwms.append(jnp.minimum(1.0, volts / 3.0) * 65535.0)
+            cl = jnp.clip(v, 0.0, 65535.0)
+            pwms.append(jnp.minimum((kq * cl + kl) * cl, 65535.0))
         # tumble kill
         pwms = [jnp.where(tumbled, 0.0, v) for v in pwms]
         # pwm -> rpm -> thrust, reorder [3,2,1,0], -> rpm
@@ -468,25 +578,34 @@ def _kernel(*refs, n_ticks, dt, kf, km, arm, ground_z, col_h_half,
         for v in pwms:
             cl = jnp.clip(v, 20000.0, 65535.0)
             rpms_out.append(0.2685 * cl + 4070.3)
-        thr = [kf * r * r for r in rpms_out][::-1]
-        if noise_blk is not None:
-            for m in range(4):
-                thr[m] = thr[m] + tick_noise[3 + m]
-        elif noise is not None:
-            # thrust-space action noise, N(0, act_std) per motor per tick
-            # (reference MellingerControl:202-253; Box-Muller from PRNG bits)
-            un = _u01(8)
-            for m in range(4):
-                r_bm = jnp.sqrt(
-                    -2.0 * jnp.log(jnp.maximum(un[m], 1e-12))
-                )
-                z = r_bm * jnp.cos((2.0 * np.pi) * un[4 + m])
-                thr[m] = thr[m] + act_std * z
-        new_rpm = []
-        for t_m in thr:
-            mp = (jnp.sqrt(jnp.maximum(t_m, 0.0) / kf) - 4070.3) / 0.2685
-            mp = jnp.clip(mp, 20000.0, 65535.0)
-            new_rpm.append(0.2685 * mp + 4070.3)
+        if noise_blk is None and noise is None:
+            # noise-free: the thrust round trip rpm -> kf*rpm^2 ->
+            # sqrt(thr/kf) -> pwm-clip -> rpm is the identity (rpms_out is
+            # already inside the pwm-clip image) — only the [3,2,1,0]
+            # reorder survives
+            new_rpm = rpms_out[::-1]
+        else:
+            thr = [kf * r * r for r in rpms_out][::-1]
+            if noise_blk is not None:
+                for m in range(4):
+                    thr[m] = thr[m] + tick_noise[3 + m]
+            else:
+                # thrust-space action noise, N(0, act_std) per motor per
+                # tick (reference MellingerControl:202-253; Box-Muller)
+                un = _u01(8)
+                for m in range(4):
+                    r_bm = jnp.sqrt(
+                        -2.0 * jnp.log(jnp.maximum(un[m], 1e-12))
+                    )
+                    z = r_bm * jnp.cos((2.0 * np.pi) * un[4 + m])
+                    thr[m] = thr[m] + act_std * z
+            inv_kf = 1.0 / kf
+            new_rpm = []
+            for t_m in thr:
+                mp = (jnp.sqrt(jnp.maximum(t_m, 0.0) * inv_kf) - 4070.3) \
+                    * (1.0 / 0.2685)
+                mp = jnp.clip(mp, 20000.0, 65535.0)
+                new_rpm.append(0.2685 * mp + 4070.3)
         new_rpm = [jnp.where(eliminated, 0.0, r) for r in new_rpm]
         prev_rpms = [jnp.where(eliminated, 0.0, r) for r in rpm]
 
@@ -495,14 +614,14 @@ def _kernel(*refs, n_ticks, dt, kf, km, arm, ground_z, col_h_half,
         # path early-returns before the gating bookkeeping)
         new_last_att = jnp.where(att_due & ~tumbled, cur_time, st[55])
         new_last_pos = jnp.where(pos_due & ~tumbled, cur_time, st[54])
-        new_err = jnp.maximum(st[57], jnp.where(tumbled, 1.0, 0.0))
+        new_err = jnp.where(tumbled, 1.0, st[57])
 
         return jnp.stack(
             [
                 px, py, pz, qx, qy, qz, qw, vx, vy, vz, wx, wy, wz,
                 new_rpm[0], new_rpm[1], new_rpm[2], new_rpm[3],
                 prev_rpms[0], prev_rpms[1], prev_rpms[2], prev_rpms[3],
-                roll, pitch, yaw, vx * 1.0, vy * 1.0, vz * 1.0,
+                roll, pitch, yaw, vx, vy, vz,
                 acc_d1[0], acc_d1[1], acc_d1[2],
                 acc_d2[0], acc_d2[1], acc_d2[2],
                 gy_d1[0], gy_d1[1], gy_d1[2],
@@ -518,7 +637,11 @@ def _kernel(*refs, n_ticks, dt, kf, km, arm, ground_z, col_h_half,
             axis=0,
         ).astype(st.dtype)  # keep the carry dtype under ambient x64
 
-    out_ref[:] = jax.lax.fori_loop(0, n_ticks, tick_body, st)
+    # full unroll = +26% on TPU (VLIW scheduling across ticks); interpret
+    # mode keeps the rolled loop (a 20x smaller graph for the CPU tests)
+    return jax.lax.fori_loop(
+        0, n_ticks, tick_body, st, unroll=n_ticks if unroll else 1
+    )
 
 
 def race_window(kf, km, arm, ground_z, state_block, window_block,
@@ -546,6 +669,7 @@ def race_window(kf, km, arm, ground_z, state_block, window_block,
         _kernel, n_ticks=n_ticks, dt=float(dt), kf=float(kf), km=float(km),
         arm=float(arm), ground_z=float(ground_z), col_h_half=0.0125,
         noise=noise, noise_rows=noise_rows is not None,
+        unroll=not interpret,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -29,6 +29,17 @@ def main():
     ap.add_argument("--end_after_gate", type=int, default=2,
                     help="early termination after N gates (0 = full track)")
     ap.add_argument("--out", default="results/race_policy.msgpack")
+    ap.add_argument("--init", default=None,
+                    help="warm-start params from a saved policy .msgpack "
+                         "(curriculum: e.g. train gate-2 first, then init "
+                         "the full-track run from it)")
+    ap.add_argument("--save_every", type=int, default=0,
+                    help="also save the policy every N iterations (0 = "
+                         "only at the end)")
+    ap.add_argument("--ent_coef", type=float, default=None,
+                    help="override PPO entropy bonus")
+    ap.add_argument("--lr", type=float, default=None,
+                    help="override PPO learning rate")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--fast", action="store_true",
                     help="run the firmware window through the Pallas race "
@@ -76,7 +87,13 @@ def main():
     )
     track = race_mod.track_from_config(config, num_drones=n_drones)
     # self-play: the PPO batch is every drone of every env
+    import dataclasses
+
     cfg = PPOConfig(n_envs=args.n_envs * n_drones, n_steps=args.n_steps)
+    if args.ent_coef is not None:
+        cfg = dataclasses.replace(cfg, ent_coef=args.ent_coef)
+    if args.lr is not None:
+        cfg = dataclasses.replace(cfg, lr=args.lr)
     end_after = args.end_after_gate
 
     reset1 = lambda key: race_rl.rl_race_reset(spec, track, key)
@@ -174,6 +191,9 @@ def main():
 
     init_fn, train_step, eval_fn = make_ppo_core(cfg, adapter, network=network)
     ts = init_fn(jax.random.PRNGKey(0))
+    if args.init:
+        ts = ts.replace(params=ckpt.load_policy(args.init, ts.params))
+        print("warm-started from", args.init, flush=True)
     train = jax.jit(train_step)
 
     t0 = time.time()
@@ -188,6 +208,8 @@ def main():
                 f"({(it + 1) * cfg.batch_size / (time.time() - t0):,.0f} steps/s)",
                 flush=True,
             )
+        if args.save_every and (it + 1) % args.save_every == 0:
+            ckpt.save_policy(args.out, ts.params)
 
     ckpt.save_policy(args.out, ts.params)
     print("saved policy:", args.out)

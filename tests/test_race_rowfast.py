@@ -53,6 +53,71 @@ def test_rowfast_matches_general_path():
     )
 
 
+def test_fused_matches_unfused():
+    """The single-launch fused kernel (ops/pallas_race_step.py) tracks the
+    window-kernel + XLA-row-tail twin: identical keys (the reset draws use
+    the same jax.random splits by construction), discrete outputs equal,
+    continuous outputs within closed-loop f32 tolerance. Covers level2
+    (randomized geometry/inertia/start) AND 2-drone COMPETE self-play."""
+    scenarios = [
+        ("getting_started", 1, RaceMode.COMPARE, False),
+        ("level2", 1, RaceMode.COMPARE, False),
+        ("twogates", 2, RaceMode.COMPETE, True),
+    ]
+    for cfg_name, n_drones, mode, per_drone in scenarios:
+        cfg = load_config(cfg_name)
+        spec = race_mod.RaceSpec.from_config(cfg, n_drones, mode, Physics.PYB)
+        track = race_mod.track_from_config(cfg, n_drones)
+        B = 128
+        reset, step_f = race_rl_rowfast.make_row_env(
+            spec, track, B, interpret=True, fused=True,
+            per_drone_reward=per_drone,
+        )
+        _, step_u = race_rl_rowfast.make_row_env(
+            spec, track, B, interpret=True, fused=False,
+            per_drone_reward=per_drone,
+        )
+        key = jax.random.PRNGKey(7)
+        st_f = reset(key)
+        st_u = reset(key)
+        for i in range(4):
+            key, ka, ks = jax.random.split(key, 3)
+            shape = (B, n_drones, 4) if n_drones > 1 else (B, 4)
+            a = jax.random.uniform(ka, shape, minval=-1.0, maxval=1.0)
+            st_f, obs_f, rew_f, done_f = step_f(st_f, a, ks)
+            st_u, obs_u, rew_u, done_u = step_u(st_u, a, ks)
+            # discrete state identical (integer-valued rows)
+            for name in ("current_gate", "eliminated", "finished",
+                         "shape_gate_id"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(st_f, name)),
+                    np.asarray(getattr(st_u, name)),
+                    err_msg=f"{cfg_name} step {i} {name}",
+                )
+            np.testing.assert_array_equal(
+                np.asarray(done_f), np.asarray(done_u),
+                err_msg=f"{cfg_name} step {i} done",
+            )
+            # geometry/inertia rows: same draws -> bitwise
+            np.testing.assert_array_equal(
+                np.asarray(st_f.gates_xyyaw), np.asarray(st_u.gates_xyyaw)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(st_f.mass), np.asarray(st_u.mass)
+            )
+            # continuous rows within closed-loop f32 drift (the two paths
+            # compile the same math in different fusion contexts, so FMA
+            # contraction differs by ~ulps, amplified by the dynamics)
+            np.testing.assert_allclose(
+                np.asarray(obs_f), np.asarray(obs_u), atol=5e-3,
+                err_msg=f"{cfg_name} step {i} obs",
+            )
+            np.testing.assert_allclose(
+                np.asarray(rew_f), np.asarray(rew_u), atol=5e-3,
+                err_msg=f"{cfg_name} step {i} reward",
+            )
+
+
 def test_rowfast_support_predicate():
     cfg = load_config("level2")
     spec2 = race_mod.RaceSpec.from_config(cfg, 1, RaceMode.COMPARE, Physics.PYB)
@@ -195,8 +260,11 @@ def _run_compete_comparison():
     track = race_mod.track_from_config(cfg, N)
     B = 128
     G, O = spec.num_gates, spec.num_obstacles
+    # unfused twin: shares the window kernel with the fast path, so the
+    # ~1e-8 agreement below holds; the fused kernel is pinned against this
+    # twin separately (test_fused_matches_unfused)
     reset, step = race_rl_rowfast.make_row_env(
-        spec, track, B, end_after_gate=0, interpret=True
+        spec, track, B, end_after_gate=0, interpret=True, fused=False
     )
     st_row = reset(jax.random.PRNGKey(0))
     keys = jax.random.split(jax.random.PRNGKey(1), B)
