@@ -11,16 +11,17 @@ Two pieces, both pure JAX:
   this to an in-graph CTBR pathway).
 """
 
+import numpy as np
 import jax.numpy as jnp
 
 from gym_pybullet_adrp_tpu.models.drone import DroneParams
 from gym_pybullet_adrp_tpu.ops import quat as quat_ops
 
 # position loop gains (reference CTBRControl.py:149-152)
-K_P = jnp.array([3.0, 3.0, 8.0])
-K_D = jnp.array([2.5, 2.5, 5.0])
-K_RATES = jnp.array([5.0, 5.0, 1.0])
-G_VEC = jnp.array([0.0, 0.0, -9.8])
+K_P = np.array([3.0, 3.0, 8.0])
+K_D = np.array([2.5, 2.5, 5.0])
+K_RATES = np.array([5.0, 5.0, 1.0])
+G_VEC = np.array([0.0, 0.0, -9.8])
 
 
 def position_to_ctbr(cur_pos, cur_quat, cur_vel, target_pos,

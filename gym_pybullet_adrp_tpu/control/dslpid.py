@@ -11,6 +11,7 @@ BaseRLAviary.py:73-78).
 
 from typing import NamedTuple
 
+import numpy as np
 import jax.numpy as jnp
 
 from gym_pybullet_adrp_tpu.ops import quat as quat_ops
@@ -18,12 +19,12 @@ from gym_pybullet_adrp_tpu.utils.enums import DroneModel
 from gym_pybullet_adrp_tpu.models.drone import DroneParams
 
 # gains and PWM constants, reference DSLPIDControl.py:37-46
-P_FOR = jnp.array([0.4, 0.4, 1.25])
-I_FOR = jnp.array([0.05, 0.05, 0.05])
-D_FOR = jnp.array([0.2, 0.2, 0.5])
-P_TOR = jnp.array([70000.0, 70000.0, 60000.0])
-I_TOR = jnp.array([0.0, 0.0, 500.0])
-D_TOR = jnp.array([20000.0, 20000.0, 12000.0])
+P_FOR = np.array([0.4, 0.4, 1.25])
+I_FOR = np.array([0.05, 0.05, 0.05])
+D_FOR = np.array([0.2, 0.2, 0.5])
+P_TOR = np.array([70000.0, 70000.0, 60000.0])
+I_TOR = np.array([0.0, 0.0, 500.0])
+D_TOR = np.array([20000.0, 20000.0, 12000.0])
 PWM2RPM_SCALE = 0.2685
 PWM2RPM_CONST = 4070.3
 MIN_PWM = 20000.0
@@ -39,19 +40,19 @@ MAX_PWM = 65535.0
 # +t0-t1+t2-t3 per BaseAviary._physics:700-703), so positive requested
 # torques produce positive physical torques. MIXER_X_LEGACY preserves the
 # reference matrix for the original layout.
-MIXER_X = jnp.array([
+MIXER_X = np.array([
     [0.5, -0.5, 1.0],
     [0.5, 0.5, -1.0],
     [-0.5, 0.5, 1.0],
     [-0.5, -0.5, -1.0],
 ])
-MIXER_X_LEGACY = jnp.array([
+MIXER_X_LEGACY = np.array([
     [-0.5, -0.5, -1.0],
     [-0.5, 0.5, 1.0],
     [0.5, 0.5, -1.0],
     [0.5, -0.5, 1.0],
 ])
-MIXER_P = jnp.array([
+MIXER_P = np.array([
     [0.0, -1.0, -1.0],
     [1.0, 0.0, 1.0],
     [0.0, 1.0, -1.0],

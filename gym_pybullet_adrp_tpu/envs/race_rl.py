@@ -16,12 +16,13 @@ ndarray-action conversion, step:190-194).
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from gym_pybullet_adrp_tpu.envs import race as race_mod
 from gym_pybullet_adrp_tpu.envs.race import RaceSpec, RaceState, RaceTrack
 
-ACTION_SCALE = jnp.asarray([1.0, 1.0, 1.0, jnp.pi])
+ACTION_SCALE = np.array([1.0, 1.0, 1.0, np.pi])
 
 
 class RaceRLState(NamedTuple):

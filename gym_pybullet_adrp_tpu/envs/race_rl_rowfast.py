@@ -794,6 +794,42 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
             reward_out = reward.reshape(n_envs)
         return new_state, obs, reward_out, done.reshape(n_envs)
 
+    def initial_obs(state: RowRaceState):
+        """First-episode observation, exactly as the kernel's autoreset
+        builds post-done obs: kinematics of the reset pose + NOMINAL
+        gate/obstacle channels (start poses sit outside VISIBILITY_RANGE
+        on the shipped tracks). Same (B, obs) / (B, N, obs) layout as
+        ``step``'s obs output — hand-building zeros instead (as the round-1
+        trainer did) puts the policy's very first action out of
+        distribution."""
+        px, py, pz = state.prev_pos  # == the reset pose positions
+        roll, pitch, yaw = state.S[21], state.S[22], state.S[23]
+        z = jnp.zeros_like(px)
+        obs_list = [px, py, pz, roll, pitch, yaw] + [z] * 6
+        for g in range(G):
+            for v in (gates[g, 0], gates[g, 1], gates[g, 2], gates[g, 5]):
+                obs_list.append(jnp.full_like(px, v))
+        obs_list += [z] * G
+        for o in range(O):
+            for v in obstacles[o, :3]:
+                obs_list.append(jnp.full_like(px, v))
+        obs_list += [z] * O
+        obs_list += [z]  # current_gate
+        if compete and N > 1:
+            pose6 = (px, py, pz, roll, pitch, yaw)
+            for j in range(N - 1):
+                for ch in pose6:
+                    blocks = []
+                    for d in range(N):
+                        e_ = [x for x in range(N) if x != d][j]
+                        blocks.append(_d(ch, e_))
+                    obs_list.append(jnp.concatenate(blocks, axis=0))
+        obs_rows = jnp.stack(obs_list, axis=0)
+        C = obs_rows.shape[0]
+        if N == 1:
+            return obs_rows.reshape(C, n_envs).T
+        return obs_rows.reshape(C, N, n_envs).transpose(2, 1, 0)
+
     # ---- fused single-launch step (ops/pallas_race_step.py) ----------------
     from gym_pybullet_adrp_tpu.ops import pallas_race_step
 
@@ -872,4 +908,5 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
         done = DONE.reshape(n_envs) > 0.5
         return new_state, obs, reward_out, done
 
+    reset.initial_obs = initial_obs
     return reset, (step_fused if fused else step)

@@ -218,6 +218,7 @@ def _fused_kernel(*refs, cfg):
         )
     crash = crash | (pz <= ground_z + 1e-6)
     if compete and N > 1:
+        # concatenate as f32 — Mosaic (v5e) rejects i1 vector concats
         dd = []
         for d in range(N):
             hit_d = jnp.zeros((Tb, LANE), dtype=jnp.bool_)
@@ -232,8 +233,8 @@ def _fused_kernel(*refs, cfg):
                     (dxy2 < (2.0 * drone_r) ** 2)
                     & (jnp.abs(_d(pz, d) - _d(pz, e)) < 2.0 * half_h)
                 )
-            dd.append(hit_d)
-        crash = crash | jnp.concatenate(dd, axis=0)
+            dd.append(hit_d.astype(px.dtype))
+        crash = crash | (jnp.concatenate(dd, axis=0) > 0.5)
     if not done_on_collision:
         crash = jnp.zeros_like(crash)
     oob = (
@@ -383,9 +384,9 @@ def _fused_kernel(*refs, cfg):
 
     # ---- 6. autoreset -------------------------------------------------------
     done = terminated | truncated             # (Tb, 128)
-    done_rows = _tile_done(done)              # (T, 128)
     d_env = done.astype(px.dtype)
-    d_rows = done_rows.astype(px.dtype)
+    d_rows = _tile_done(d_env)                # f32 concat (no i1 vectors)
+    done_rows = d_rows > 0.5                  # (T, 128)
 
     rpx, rpy_, rpz = rst[0], rst[1], rst[2]
     rroll, rpitch, ryaw = rst[3], rst[4], rst[5]

@@ -67,6 +67,49 @@ def make_mesh_2d(n_dp: int, n_tp: int, devices=None) -> Mesh:
     )
 
 
+def state_specs(ts: ppo.TrainState) -> ppo.TrainState:
+    """Partition specs over the TrainState pytree: params/opt replicated,
+    env batch + episode stats sharded on the leading env axis, one rng per
+    device."""
+    rep = jax.tree_util.tree_map(lambda _: P(), ts.params)
+    opt = jax.tree_util.tree_map(lambda _: P(), ts.opt_state)
+    sharded = lambda tree: jax.tree_util.tree_map(lambda _: P(AXIS), tree)
+    return ppo.TrainState(
+        params=rep,
+        opt_state=opt,
+        env_state=sharded(ts.env_state),
+        last_obs=P(AXIS),
+        rng=P(AXIS),
+        ep_return=P(AXIS),
+        ep_len=P(AXIS),
+    )
+
+
+def host_to_global(mesh: Mesh, ts: ppo.TrainState) -> ppo.TrainState:
+    """Convert a host-built (process-local) TrainState into global arrays
+    laid out per ``state_specs`` over a possibly multi-process mesh.
+
+    Every process must hold the SAME full host state (global_init is
+    deterministic in its key, so that holds by construction); each process
+    contributes only the shards that live on its local devices — the
+    standard ``jax.make_array_from_callback`` multi-controller recipe.
+    Single-process meshes pass through unchanged semantically.
+    """
+    from jax.sharding import NamedSharding
+
+    specs = state_specs(jax.eval_shape(lambda: ts))
+
+    def conv(x, spec):
+        x = np.asarray(x)
+        sh = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(
+        conv, ts, specs,
+        is_leaf=lambda v: isinstance(v, P),
+    )
+
+
 def make_distributed_ppo(
     mesh: Mesh,
     cfg: ppo.PPOConfig,
@@ -86,23 +129,6 @@ def make_distributed_ppo(
     init_fn, train_step, _ = ppo.make_ppo(
         cfg, rl_cfg, params, init_xyzs, init_rpys, dtype=dtype, axis_name=AXIS
     )
-
-    # partition specs over the TrainState pytree: params/opt replicated,
-    # env batch + episode stats sharded on the leading env axis, one rng per
-    # device
-    def state_specs(ts: ppo.TrainState) -> ppo.TrainState:
-        rep = jax.tree_util.tree_map(lambda _: P(), ts.params)
-        opt = jax.tree_util.tree_map(lambda _: P(), ts.opt_state)
-        sharded = lambda tree: jax.tree_util.tree_map(lambda _: P(AXIS), tree)
-        return ppo.TrainState(
-            params=rep,
-            opt_state=opt,
-            env_state=sharded(ts.env_state),
-            last_obs=P(AXIS),
-            rng=P(AXIS),
-            ep_return=P(AXIS),
-            ep_len=P(AXIS),
-        )
 
     def global_init(rng):
         """Build the global TrainState: per-device shards stacked on axis 0."""

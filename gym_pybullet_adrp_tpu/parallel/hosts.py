@@ -34,6 +34,8 @@ def ensure_initialized(coordinator_address=None, num_processes=None,
     )
     if coordinator_address is None and num_processes is None:
         return False  # single host
+    if jax.distributed.is_initialized():
+        return True  # idempotent: already joined
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -48,6 +48,13 @@ class PPOConfig:
     # optional linear LR decay to 0 over this many optimizer updates
     # (len(iterations) * n_epochs * n_minibatches); None = constant LR
     total_updates: int = None
+    # minibatch-shuffle granularity: 1 = exact SB3 per-sample permutation;
+    # >1 permutes contiguous blocks of that many samples instead. TPU
+    # gathers of ~200-byte rows run far below HBM bandwidth, and the
+    # 131k-element sort behind jax.random.permutation costs ~0.5 ms per
+    # epoch — block shuffling keeps minibatches unbiased (consecutive rows
+    # are independent envs at one timestep) while moving whole tiles.
+    shuffle_block: int = 1
 
     @property
     def batch_size(self):
@@ -187,44 +194,62 @@ def make_ppo_core(cfg: PPOConfig, adapter: EnvAdapter, dtype=jnp.float32,
         total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
         return total, (pg_loss, v_loss, ent)
 
-    def update_epoch(carry, _):
-        params, opt_state, rng, traj, advantages, returns = carry
-        rng, k = jax.random.split(rng)
+    def make_update_epoch(traj, advantages, returns):
+        """Epoch body closing over the (invariant) trajectory arrays —
+        carrying them through the epoch scan would copy ~30 MB per epoch."""
         batch_size = cfg.batch_size
         mb = batch_size // cfg.n_minibatches
-        take = jax.random.permutation(k, batch_size)[: mb * cfg.n_minibatches]
+        blk = cfg.shuffle_block
+        assert batch_size % blk == 0 and mb % blk == 0, \
+            "shuffle_block must divide the minibatch size"
+        n_blocks = batch_size // blk
 
-        # permute the whole batch ONCE and scan over contiguous minibatch
-        # slices: same minibatch membership/order as per-minibatch index
-        # gathers (1 gather instead of n_minibatches; XLA generates
-        # equivalent code either way — kept for the smaller HLO)
-        shuffle = lambda x: x.reshape((batch_size,) + x.shape[2:])[take] \
-            .reshape((cfg.n_minibatches, mb) + x.shape[2:])
-        # only the fields the surrogate loss reads (value/reward/done are
-        # already folded into advantages/returns by GAE)
-        mb_traj = Transition(
-            obs=shuffle(traj.obs), action=shuffle(traj.action),
-            logp=shuffle(traj.logp), value=None, reward=None, done=None,
-        )
-        mb_adv = shuffle(advantages)
-        mb_ret = shuffle(returns)
-
-        def minibatch_step(carry, xs):
-            params, opt_state = carry
-            batch, adv, ret = xs
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, batch, adv, ret
+        def update_epoch(carry, _):
+            params, opt_state, rng = carry
+            rng, k = jax.random.split(rng)
+            # permute the whole batch ONCE and scan over contiguous
+            # minibatch slices: same minibatch membership/order as
+            # per-minibatch index gathers. blk > 1 permutes whole tiles
+            # (one sort of batch/blk elements + contiguous DMA).
+            take = jax.random.permutation(k, n_blocks)[
+                : (mb * cfg.n_minibatches) // blk
+            ]
+            if blk == 1:
+                shuffle = lambda x: x.reshape(
+                    (batch_size,) + x.shape[2:]
+                )[take].reshape((cfg.n_minibatches, mb) + x.shape[2:])
+            else:
+                shuffle = lambda x: x.reshape(
+                    (n_blocks, blk) + x.shape[2:]
+                )[take].reshape((cfg.n_minibatches, mb) + x.shape[2:])
+            # only the fields the surrogate loss reads (value/reward/done
+            # are already folded into advantages/returns by GAE)
+            mb_traj = Transition(
+                obs=shuffle(traj.obs), action=shuffle(traj.action),
+                logp=shuffle(traj.logp), value=None, reward=None, done=None,
             )
-            if axis_name is not None:
-                grads = jax.lax.pmean(grads, axis_name=axis_name)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
+            mb_adv = shuffle(advantages)
+            mb_ret = shuffle(returns)
 
-        (params, opt_state), losses = jax.lax.scan(
-            minibatch_step, (params, opt_state), (mb_traj, mb_adv, mb_ret)
-        )
-        return (params, opt_state, rng, traj, advantages, returns), losses
+            def minibatch_step(carry, xs):
+                params, opt_state = carry
+                batch, adv, ret = xs
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params, batch, adv, ret)
+                if axis_name is not None:
+                    grads = jax.lax.pmean(grads, axis_name=axis_name)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                minibatch_step, (params, opt_state),
+                (mb_traj, mb_adv, mb_ret),
+            )
+            return (params, opt_state, rng), losses
+
+        return update_epoch
 
     def train_step(ts: TrainState):
         """One PPO iteration. Returns (train_state, metrics dict)."""
@@ -234,10 +259,12 @@ def make_ppo_core(cfg: PPOConfig, adapter: EnvAdapter, dtype=jnp.float32,
         _, _, last_value = network.apply(ts.params, ts.last_obs)
         advantages, returns = compute_gae(traj, last_value)
 
-        carry = (ts.params, ts.opt_state, ts.rng, traj, advantages, returns)
-        carry, losses = jax.lax.scan(update_epoch, carry, None,
-                                     length=cfg.n_epochs)
-        params, opt_state, rng = carry[0], carry[1], carry[2]
+        carry = (ts.params, ts.opt_state, ts.rng)
+        carry, losses = jax.lax.scan(
+            make_update_epoch(traj, advantages, returns), carry, None,
+            length=cfg.n_epochs,
+        )
+        params, opt_state, rng = carry
         ts = ts._replace(params=params, opt_state=opt_state, rng=rng)
 
         metrics = {

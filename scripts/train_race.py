@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--save_every", type=int, default=0,
                     help="also save the policy every N iterations (0 = "
                          "only at the end)")
+    ap.add_argument("--shuffle_block", type=int, default=512,
+                    help="minibatch shuffle granularity (1 = exact SB3 "
+                         "per-sample permutation; larger = whole-tile "
+                         "shuffles, ~5x faster PPO updates on TPU)")
     ap.add_argument("--ent_coef", type=float, default=None,
                     help="override PPO entropy bonus")
     ap.add_argument("--lr", type=float, default=None,
@@ -89,7 +93,12 @@ def main():
     # self-play: the PPO batch is every drone of every env
     import dataclasses
 
-    cfg = PPOConfig(n_envs=args.n_envs * n_drones, n_steps=args.n_steps)
+    blk = max(1, args.shuffle_block)
+    mb = args.n_envs * n_drones * args.n_steps // 8
+    while mb % blk:
+        blk //= 2
+    cfg = PPOConfig(n_envs=args.n_envs * n_drones, n_steps=args.n_steps,
+                    shuffle_block=blk)
     if args.ent_coef is not None:
         cfg = dataclasses.replace(cfg, ent_coef=args.ent_coef)
     if args.lr is not None:
@@ -117,14 +126,10 @@ def main():
 
         def batched_reset(key):
             st = row_reset(key)
-            # first obs via one zero-action probe is unnecessary: assemble
-            # the kinematic/constant channels directly from the reset rows
-            obs = jnp.zeros((cfg.n_envs, spec.obs_size), dtype=jnp.float32)
-            # prev_pos rows are drone-major (3, N*Tb, 128) -> (B*N, 3)
-            # in env-major drone order matching the flattened obs below
-            pos = st.prev_pos.reshape(3, n_drones, B).transpose(2, 1, 0)
-            obs = obs.at[:, 0:3].set(pos.reshape(cfg.n_envs, 3))
-            return st, obs
+            # first obs exactly as the kernel's autoreset builds it
+            # (kinematics + nominal geometry channels)
+            obs = row_reset.initial_obs(st)
+            return st, obs.reshape(cfg.n_envs, spec.obs_size)
 
         if n_drones == 1:
             step_fn = lambda s, a, k: row_step(s, a, k)
@@ -192,7 +197,7 @@ def main():
     init_fn, train_step, eval_fn = make_ppo_core(cfg, adapter, network=network)
     ts = init_fn(jax.random.PRNGKey(0))
     if args.init:
-        ts = ts.replace(params=ckpt.load_policy(args.init, ts.params))
+        ts = ts._replace(params=ckpt.load_policy(args.init, ts.params))
         print("warm-started from", args.init, flush=True)
     train = jax.jit(train_step)
 

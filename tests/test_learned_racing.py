@@ -1,0 +1,164 @@
+"""Learned-racing demonstrations, pinned (VERDICT r1 item 4).
+
+(a) The shipped full-track policy (results/gs_full_policy.msgpack, trained
+    by scripts/train_race.py on the row kernel) completes ALL 4 gates of
+    the getting_started track from the standard reset, deterministically,
+    across a 128-env batch — the capability the reference anchors with
+    user_controller/RLController.py + scripts/sim.py (whose example policy
+    handles 2 gates).
+(b) A pinned 4-drone level3 COMPETE episode: opponent-pose observations,
+    drone-drone collisions/elimination, randomized tracks and in-kernel
+    disturbances all demonstrably active in one evaluation.
+
+Gate passes are read from reward edges (+5 pass / >=+12.5 finish step) —
+the only pre-autoreset signal; see scripts/eval_race.py.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gym_pybullet_adrp_tpu.envs import race as race_mod, race_rl_rowfast
+from gym_pybullet_adrp_tpu.models.policy import ActorCritic
+from gym_pybullet_adrp_tpu.rl import checkpoint as ckpt
+from gym_pybullet_adrp_tpu.utils.config import load_config
+from gym_pybullet_adrp_tpu.utils.enums import Physics, RaceMode
+
+POLICY = Path(__file__).resolve().parent.parent / \
+    "results/gs_full_policy.msgpack"
+
+
+def _load_policy(obs_dim):
+    net = ActorCritic(act_dim=4)
+    tmpl = net.init(jax.random.PRNGKey(0), jnp.zeros((1, obs_dim)))
+    return net, ckpt.load_policy(str(POLICY), tmpl)
+
+
+@pytest.mark.slow
+def test_full_track_policy_completes_getting_started_on_tpu():
+    """The headline pin: 100% of 128 envs complete all 4 gates in ~2.84 s
+    (vs 14.36 s for the scripted spline racer), deterministic mean-action.
+
+    Runs on the training platform (the real TPU chip) via a subprocess
+    without the conftest CPU override: the firmware controller's rate
+    D-term amplifies float noise by x500 per 500 Hz tick, so closed-loop
+    trajectories are deterministic PER PLATFORM but not bit-transferable
+    across backends (same as the reference: PyBullet+C-firmware rollouts
+    are only reproducible on one binary). Skips when no TPU is attached;
+    the CPU-side robustness pin below always runs.
+    """
+    import subprocess
+    import sys
+
+    repo = Path(__file__).resolve().parent.parent
+    code = (
+        "import json, jax\n"
+        "jax.config.update('jax_compilation_cache_dir', "
+        "'/root/repo/.jax_cache')\n"
+        "import sys\n"
+        "if jax.devices()[0].platform != 'tpu':\n"
+        "    print('NO_TPU'); sys.exit(0)\n"
+        "import importlib.util\n"
+        "s = importlib.util.spec_from_file_location("
+        "'er', 'scripts/eval_race.py')\n"
+        "er = importlib.util.module_from_spec(s); s.loader.exec_module(er)\n"
+        "out = er.evaluate('results/gs_full_policy.msgpack', "
+        "'getting_started', 128)\n"
+        "print('RESULT ' + json.dumps(out))\n"
+    )
+    env = dict(**__import__("os").environ)
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run(
+        [sys.executable, "-c", code], cwd=repo, capture_output=True,
+        text=True, timeout=900, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    if "NO_TPU" in r.stdout:
+        pytest.skip("no TPU attached")
+    import json
+
+    out = json.loads(
+        [ln for ln in r.stdout.splitlines() if ln.startswith("RESULT ")][0]
+        [len("RESULT "):]
+    )
+    assert out["completion_rate"] >= 0.95, out
+    assert out["mean_gates"] >= 4.0, out
+    assert out["mean_lap_time"] < 6.0, out
+
+
+@pytest.mark.slow
+def test_level1_policy_robust_on_cpu():
+    """Cross-platform floor: the level1-trained policy (randomized starts,
+    inertia, and in-kernel disturbances) completes full laps even on the
+    CPU backend's slightly different float realization — the takeoff
+    knife-edge fails some starts off-platform, but a solid fraction of the
+    randomized field finishes all 4 gates (measured ~20%; pinned >= 8%)."""
+    import importlib.util
+
+    repo = Path(__file__).resolve().parent.parent
+    s = importlib.util.spec_from_file_location(
+        "er", repo / "scripts/eval_race.py"
+    )
+    er = importlib.util.module_from_spec(s)
+    s.loader.exec_module(er)
+    out = er.evaluate(
+        str(repo / "results/level1_policy.msgpack"), "level1", 128
+    )
+    assert out["completion_rate"] >= 0.08, out
+    assert out["mean_lap_time"] is not None and out["mean_lap_time"] < 6.0, \
+        out
+    # gate progress well beyond chance across the randomized field
+    assert out["mean_gates"] >= 0.5, out
+
+
+@pytest.mark.slow
+def test_level3_compete_four_drones_pinned_episode():
+    cfg = load_config("level3")
+    N, B = 4, 128
+    spec = race_mod.RaceSpec.from_config(
+        cfg, N, RaceMode.COMPETE, Physics.PYB
+    )
+    track = race_mod.track_from_config(cfg, N)
+    assert spec.disturbances and spec.done_on_collision
+    reset, step = race_rl_rowfast.make_row_env(
+        spec, track, B, interpret=True, per_drone_reward=True
+    )
+    # COMPETE obs appends 6*(N-1) opponent-pose channels
+    assert spec.obs_size == 49 + 6 * (N - 1)
+    net, params = _load_policy(49)  # shared policy reads own-state channels
+    st = reset(jax.random.PRNGKey(7))
+    obs = reset.initial_obs(st)
+    T = 100
+
+    @jax.jit
+    def roll(st, obs, key):
+        def body(carry, _):
+            st, obs, k = carry
+            flat = obs.reshape(B * N, -1)[:, :49].astype(jnp.float32)
+            mean, _, _ = net.apply(params, flat)
+            a = jnp.clip(mean, -1, 1).reshape(B, N, 4)
+            k, ks = jax.random.split(k)
+            st, obs, rew, done = step(st, a, ks)
+            elim = st.eliminated.reshape(N, B).T
+            return (st, obs, k), (rew, done, elim)
+
+        (st, obs, _), out = jax.lax.scan(body, (st, obs, key), None,
+                                         length=T)
+        return out
+
+    r, d, e = roll(st, obs, jax.random.PRNGKey(8))
+    r, d, e = np.asarray(r), np.asarray(d), np.asarray(e)
+    first_done = np.where(d.any(axis=0), d.argmax(axis=0), T - 1)
+    live = np.arange(T)[:, None, None] <= first_done[None, :, None]
+    # gate progress happens under full level3 conditions
+    assert ((r >= 2.5) & live).sum() >= 10
+    # collisions/elimination machinery fires (4 drones, COMPETE)
+    assert ((e > 0.5) & live).any()
+    # episodes terminate before truncation for some envs
+    assert d.any()
+    # disturbances are live: a different key changes the trajectories
+    r2, _, _ = roll(st, obs, jax.random.PRNGKey(9))
+    assert not np.allclose(r, np.asarray(r2))
