@@ -40,6 +40,8 @@ def simulate(
         racemode=RaceMode.COMPETE if racemode == "compete" else RaceMode.COMPARE,
     )
 
+    if isinstance(controller, (str, Path)):
+        controller = (controller,)
     controllers = list(controller)
     if len(controllers) != n_drones:
         controllers = (controllers * n_drones)[:n_drones]

@@ -68,6 +68,11 @@ def test_full_track_policy_completes_getting_started_on_tpu():
         "out = er.evaluate('results/gs_full_policy.msgpack', "
         "'getting_started', 128)\n"
         "print('RESULT ' + json.dumps(out))\n"
+        "import sys as _s; _s.path.insert(0, '.')\n"
+        "from scripts.sim import simulate\n"
+        "times = simulate(config='configs/getting_started.yaml', "
+        "controller='agents/rl_fulltrack.py', n_runs=1, n_drones=1)\n"
+        "print('SIM ' + json.dumps(times))\n"
     )
     env = dict(**__import__("os").environ)
     env.pop("XLA_FLAGS", None)
@@ -87,6 +92,13 @@ def test_full_track_policy_completes_getting_started_on_tpu():
     assert out["completion_rate"] >= 0.95, out
     assert out["mean_gates"] >= 4.0, out
     assert out["mean_lap_time"] < 6.0, out
+    # and the same policy through the CLASS-API CLI (scripts/sim.py with
+    # the shipped agents/rl_fulltrack.py): finishes the race fast
+    times = json.loads(
+        [ln for ln in r.stdout.splitlines() if ln.startswith("SIM ")][0]
+        [len("SIM "):]
+    )
+    assert times[0] < 6.0, times
 
 
 @pytest.mark.slow
