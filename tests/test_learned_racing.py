@@ -140,7 +140,13 @@ def test_level3_compete_four_drones_pinned_episode():
     )
     # COMPETE obs appends 6*(N-1) opponent-pose channels
     assert spec.obs_size == 49 + 6 * (N - 1)
-    net, params = _load_policy(49)  # shared policy reads own-state channels
+    # the 4-drone self-play artifact: trained on the full opponent-pose obs
+    net = ActorCritic(act_dim=4)
+    tmpl = net.init(jax.random.PRNGKey(0), jnp.zeros((1, spec.obs_size)))
+    params = ckpt.load_policy(
+        str(Path(__file__).resolve().parent.parent
+            / "results/level3_selfplay.msgpack"), tmpl,
+    )
     st = reset(jax.random.PRNGKey(7))
     obs = reset.initial_obs(st)
     T = 100
@@ -149,7 +155,7 @@ def test_level3_compete_four_drones_pinned_episode():
     def roll(st, obs, key):
         def body(carry, _):
             st, obs, k = carry
-            flat = obs.reshape(B * N, -1)[:, :49].astype(jnp.float32)
+            flat = obs.reshape(B * N, -1).astype(jnp.float32)
             mean, _, _ = net.apply(params, flat)
             a = jnp.clip(mean, -1, 1).reshape(B, N, 4)
             k, ks = jax.random.split(k)
@@ -166,7 +172,10 @@ def test_level3_compete_four_drones_pinned_episode():
     first_done = np.where(d.any(axis=0), d.argmax(axis=0), T - 1)
     live = np.arange(T)[:, None, None] <= first_done[None, :, None]
     # gate progress happens under full level3 conditions
-    assert ((r >= 2.5) & live).sum() >= 10
+    # the self-play racers make substantial progress (hundreds of gate
+    # passes across 128 envs x 4 drones; >= 100 pinned with CPU-platform
+    # slack — VALIDATION §4b on float-realization transfer)
+    assert ((r >= 2.5) & live).sum() >= 100
     # collisions/elimination machinery fires (4 drones, COMPETE)
     assert ((e > 0.5) & live).any()
     # episodes terminate before truncation for some envs
