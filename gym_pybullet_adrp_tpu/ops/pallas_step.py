@@ -118,7 +118,9 @@ def _kernel(state_ref, rpm_ref, out_ref, *, n_substeps, dt, kf, km, arm_s,
             [px, py, pz, qx, qy, qz, qw, vx, vy, vz, wx, wy, wz], axis=0
         )
 
-    out_ref[:] = jax.lax.fori_loop(0, n_substeps, body, st)
+    out_ref[:] = jax.lax.fori_loop(
+        0, n_substeps, body, st, unroll=n_substeps
+    )
 
 
 def pack_state(pos, quat, vel, omega):
@@ -285,9 +287,12 @@ def _rollout_kernel(seed_ref, state_ref, out_ref, acc_ref, *, n_steps,
         ty = (-f[0] + f[1] + f[2] - f[3]) * arm_s
         t_ = rpm * rpm * km
         tz = t_[0] - t_[1] + t_[2] - t_[3]
+        # full unroll: Mosaic schedules across substeps (measured +26% on
+        # the race window from the same treatment)
         st = jax.lax.fori_loop(
             0, n_substeps,
             lambda _, s: substep(s, f, thrust, tx, ty, tz), st,
+            unroll=n_substeps,
         )
         # HoverAviary reward / termination / truncation / autoreset
         px, py, pz = st[0], st[1], st[2]
