@@ -1,6 +1,6 @@
 """Multi-process cluster worker for tests/test_hosts.py.
 
-Launched as: python tests/_hosts_worker.py <pid> <nproc> <port> <out.json>
+Launched as: python tests/_hosts_worker.py <pid> <nproc> <port> <out.json> [n_local_dev]
 
 Joins a localhost jax.distributed cluster (CPU backend, 4 virtual devices
 per process), asserts the hosts.py surface (ensure_initialized,
@@ -18,8 +18,9 @@ import json
 import os
 import sys
 
+N_DEV = int(sys.argv[5]) if len(sys.argv) > 5 else 4
 os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
-    " --xla_force_host_platform_device_count=4"
+    f" --xla_force_host_platform_device_count={N_DEV}"
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
@@ -56,11 +57,11 @@ def main():
     from gym_pybullet_adrp_tpu.utils.enums import ActionType, DroneModel
 
     assert jax.process_count() == nproc
-    assert jax.local_device_count() == 4
-    assert jax.device_count() == 4 * nproc
+    assert jax.local_device_count() == N_DEV
+    assert jax.device_count() == N_DEV * nproc
 
     mesh = hosts.global_mesh()
-    assert mesh.devices.size == 4 * nproc
+    assert mesh.devices.size == N_DEV * nproc
 
     start, count = hosts.local_env_slice(64)
     assert count == 64 // nproc and start == pid * count

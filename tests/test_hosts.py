@@ -128,3 +128,38 @@ def test_two_process_cluster_matches_single_process(tmp_path):
             continue
         assert w0[k] == pytest.approx(ref[k], rel=2e-4, abs=2e-5), \
             (k, w0[k], ref[k])
+
+
+@pytest.mark.slow
+def test_four_process_cluster(tmp_path):
+    """BASELINE's 4-host shape: 4 processes x 2 virtual devices joining one
+    8-device global mesh; every controller sees identical replicated
+    metrics from the sharded PPO step and the cross-process psum."""
+    port = _free_port()
+    outs = [tmp_path / f"w{i}.json" for i in range(4)]
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(REPO / "tests/_hosts_worker.py"),
+             str(i), "4", str(port), str(outs[i]), "2"],
+            cwd=REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(4)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        logs.append(out)
+    assert all(p.returncode == 0 for p in procs), \
+        "\n".join(log[-1500:] for log in logs)
+    ws = [json.loads(o.read_text()) for o in outs]
+    assert ws[0]["process_count"] == 4
+    for w in ws[1:]:
+        for k in ("loss", "mean_reward", "psum"):
+            assert ws[0][k] == pytest.approx(w[k], rel=1e-6), (k, ws[0], w)
