@@ -23,9 +23,10 @@ def main():
                          "256 otherwise)")
     ap.add_argument("--platform", type=str, default=None,
                     help="force jax platform (e.g. cpu); default: real chip")
-    ap.add_argument("--repeats", type=int, default=8,
+    ap.add_argument("--repeats", type=int, default=16,
                     help="calls per timed batch (dispatched back-to-back, "
-                         "blocked once: sustained device throughput)")
+                         "blocked once: sustained device throughput; 16 "
+                         "amortizes per-call dispatch ~fully)")
     ap.add_argument(
         "--impl", choices=["xla", "pallas", "pallas-rollout", "race"],
         default="pallas-rollout",
@@ -104,18 +105,23 @@ def main():
         # which understates throughput 2-3x at these step counts.
         @jax.jit
         def fn(key, state0):
-            def body(carry, _):
-                st, k, acc = carry
-                k, ka, ks = jax.random.split(k, 3)
-                a = jax.random.uniform(
-                    ka, act_shape, minval=-1.0, maxval=1.0
-                )
-                st, obs, reward, done = step(st, a, ks)
-                return (st, k, acc + jnp.sum(reward)), None
+            # actions for the whole rollout in ONE batched draw — the
+            # serialized per-step threefry chain otherwise charges ~2-3 us
+            # of tiny-op latency to every step (harness cost, not env cost)
+            k_act, k_env = jax.random.split(key[0])
+            actions = jax.random.uniform(
+                k_act, (args.steps,) + act_shape, minval=-1.0, maxval=1.0
+            )
+            env_keys = jax.random.split(k_env, args.steps)
 
-            (st, _, acc), _ = jax.lax.scan(
-                body, (state0, key[0], jnp.zeros(())), None,
-                length=args.steps,
+            def body(carry, xs):
+                st, acc = carry
+                a, ks = xs
+                st, obs, reward, done = step(st, a, ks)
+                return (st, acc + jnp.sum(reward)), None
+
+            (st, acc), _ = jax.lax.scan(
+                body, (state0, jnp.zeros(())), (actions, env_keys),
             )
             return acc[None]
 
