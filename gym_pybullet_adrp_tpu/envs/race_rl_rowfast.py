@@ -145,7 +145,8 @@ def _track_consts(spec: RaceSpec, track: RaceTrack):
 
 def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
                  end_after_gate: int = 0, interpret: bool = False,
-                 per_drone_reward: bool = False, fused: bool = True):
+                 per_drone_reward: bool = False, fused: bool = True,
+                 telemetry: bool = False):
     """Build ``(reset(key) -> state, step(state, action, key) ->
     (state, obs, reward, done(B,)))`` in row form.
 
@@ -168,6 +169,15 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
     window-kernel + XLA-row-tail twin, which
     tests/test_race_rowfast.py::test_fused_matches_unfused pins bitwise
     against the fused path (same jax.random reset draws by construction).
+
+    ``telemetry=True`` appends an ``info`` dict to the step return —
+    PRE-autoreset rows ``current_gate`` / ``eliminated`` / ``finished``
+    (each ``(B,)``, or ``(B, N)`` multi-drone) and the env-level episode
+    step counter ``ep_steps`` ``(B,)`` — so evaluation reads gates passed,
+    completion, and lap timing directly from race state instead of
+    decoding reward edges (the packed state is already reset when ``step``
+    returns; reference MultiRaceAviary surfaces the same values through
+    its pre-reset ``info``/state).
     """
     assert supports(spec), "row-fast path: PYB physics, CF2X"
     assert n_envs % LANE == 0, f"n_envs must be a multiple of {LANE}"
@@ -792,7 +802,21 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
             reward_out = reward.reshape(N, n_envs).T  # (B, N)
         else:
             reward_out = reward.reshape(n_envs)
+        if telemetry:
+            info = {
+                "current_gate": _per_drone_out(current_gate),
+                "eliminated": _per_drone_out(eliminated),
+                "finished": _per_drone_out(finished),
+                "ep_steps": ep_steps.reshape(n_envs),
+            }
+            return new_state, obs, reward_out, done.reshape(n_envs), info
         return new_state, obs, reward_out, done.reshape(n_envs)
+
+    def _per_drone_out(rows):
+        """(N*Tb, 128) drone-major rows -> (B,) or (B, N) host layout."""
+        if N == 1:
+            return rows.reshape(n_envs)
+        return rows.reshape(N, n_envs).T
 
     def initial_obs(state: RowRaceState):
         """First-episode observation, exactly as the kernel's autoreset
@@ -884,17 +908,17 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
         RST = jnp.stack(
             list(pose) + [mass_rows, j_rows[0], j_rows[1], j_rows[2]], axis=0
         )
-        S2, R2, GG2, OO2, EP2, OBS, REW, DONE = \
-            pallas_race_step.race_step_fused(
-                kf, km, arm, ground_z,
-                state.S, action_rows.astype(f32), state.R, state.GG,
-                state.OO, state.EP, RST.astype(f32),
-                gates_rows.reshape(3 * G, Tb, LANE),
-                obst_rows.reshape(2 * O, Tb, LANE),
-                n_ticks=spec.steps_per_ctrl, dt=1.0 / spec.pyb_freq,
-                spec_tail=spec_tail, interpret=interpret, noise=noise,
-                seed=seed, noise_rows=noise_rows,
-            )
+        out = pallas_race_step.race_step_fused(
+            kf, km, arm, ground_z,
+            state.S, action_rows.astype(f32), state.R, state.GG,
+            state.OO, state.EP, RST.astype(f32),
+            gates_rows.reshape(3 * G, Tb, LANE),
+            obst_rows.reshape(2 * O, Tb, LANE),
+            n_ticks=spec.steps_per_ctrl, dt=1.0 / spec.pyb_freq,
+            spec_tail=spec_tail, interpret=interpret, noise=noise,
+            seed=seed, noise_rows=noise_rows, telemetry=telemetry,
+        )
+        S2, R2, GG2, OO2, EP2, OBS, REW, DONE = out[:8]
         new_state = RowRaceState(S=S2, R=R2, GG=GG2, OO=OO2, EP=EP2)
         C = OBS.shape[0]
         if N == 1:
@@ -906,6 +930,15 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
         else:
             reward_out = REW[:Tb].reshape(n_envs)
         done = DONE.reshape(n_envs) > 0.5
+        if telemetry:
+            INFO = out[8]
+            info = {
+                "current_gate": _per_drone_out(INFO[0]),
+                "eliminated": _per_drone_out(INFO[1]),
+                "finished": _per_drone_out(INFO[2]),
+                "ep_steps": INFO[3][:Tb].reshape(n_envs),
+            }
+            return new_state, obs, reward_out, done, info
         return new_state, obs, reward_out, done
 
     reset.initial_obs = initial_obs

@@ -61,7 +61,7 @@ def _fused_kernel(*refs, cfg):
     (n_ticks, dt, kf, km, arm, ground_z, N, Tb, G, O, gates, obstacles,
      bounds_hi, heights, compete, per_drone_reward, end_after_gate,
      done_on_collision, done_on_completion, episode_len_sec, pyb_freq,
-     noise, noise_rows, drone_r, half_h, unroll) = cfg
+     noise, noise_rows, drone_r, half_h, unroll, telemetry) = cfg
 
     idx = 0
     if noise is not None and not noise_rows:
@@ -77,6 +77,7 @@ def _fused_kernel(*refs, cfg):
         idx += 1
     (s_out, r_out, gg_out, oo_out, ep_out, obs_out, rew_out,
      done_out) = refs[idx:idx + 8]
+    info_out = refs[idx + 8] if telemetry else None
 
     S0 = s_ref[:]
     A = a_ref[:]
@@ -479,11 +480,20 @@ def _fused_kernel(*refs, cfg):
     obs_out[:] = obs_rows.astype(S0.dtype)
     rew_out[:] = reward.astype(S0.dtype)
     done_out[:] = done.astype(S0.dtype)
+    if telemetry:
+        # pre-autoreset race telemetry (VERDICT r2 item 9): the direct
+        # gates-passed / eliminated / finished / episode-step values BEFORE
+        # the same-step reset wipes them, so evaluation reads completion
+        # and lap times from state rather than decoding reward edges
+        info_out[:] = jnp.stack(
+            [current_gate, eliminated, finished, _tile_done(ep_steps)],
+            axis=0,
+        ).astype(S0.dtype)
 
 
 def race_step_fused(kf, km, arm, ground_z, S, A, R, GG, OO, EP, RST, RSTG,
                     RSTO, *, n_ticks, dt, spec_tail, interpret=False,
-                    noise=None, seed=None, noise_rows=None):
+                    noise=None, seed=None, noise_rows=None, telemetry=False):
     """One fused race RL step over the packed state blocks.
 
     ``spec_tail`` is a tuple of the static tail parameters:
@@ -492,7 +502,9 @@ def race_step_fused(kf, km, arm, ground_z, S, A, R, GG, OO, EP, RST, RSTG,
      end_after_gate, done_on_collision, done_on_completion,
      episode_len_sec, pyb_freq, drone_r, half_h).
     Returns (S', R', GG', OO', EP', OBS (C,T,128), REW (T,128),
-    DONE (Tb,128)).
+    DONE (Tb,128)); with ``telemetry=True`` an extra
+    INFO (4, T, 128) block of PRE-autoreset rows
+    [current_gate, eliminated, finished, ep_steps] is appended.
     """
     (N, Tb, G, O, gates, obstacles, bounds_hi, heights, compete,
      per_drone_reward, end_after_gate, done_on_collision,
@@ -515,7 +527,7 @@ def race_step_fused(kf, km, arm, ground_z, S, A, R, GG, OO, EP, RST, RSTG,
         bool(done_on_collision), bool(done_on_completion),
         float(episode_len_sec), float(pyb_freq),
         noise, noise_rows is not None, float(drone_r), float(half_h),
-        not interpret,
+        not interpret, bool(telemetry),
     )
     T = N * Tb
     C = 12 + 5 * G + 4 * O + 1 + (6 * (N - 1) if compete and N > 1 else 0)
@@ -530,6 +542,10 @@ def race_step_fused(kf, km, arm, ground_z, S, A, R, GG, OO, EP, RST, RSTG,
         jax.ShapeDtypeStruct((T, LANE), dtype),
         jax.ShapeDtypeStruct((Tb, LANE), dtype),
     )
+    if telemetry:
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((4, T, LANE), dtype),
+        )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [vmem] * 9
     args = (S, A, R, GG, OO, EP, RST, RSTG, RSTO)
@@ -543,6 +559,6 @@ def race_step_fused(kf, km, arm, ground_z, S, A, R, GG, OO, EP, RST, RSTG,
         partial(_fused_kernel, cfg=cfg),
         out_shape=out_shape,
         in_specs=in_specs,
-        out_specs=tuple([vmem] * 8),
+        out_specs=tuple([vmem] * len(out_shape)),
         interpret=interpret,
     )(*args)

@@ -5,9 +5,16 @@ path — the counterpart of the reference's scripts/sim.py episode loop with
 an RLController (reference user_controller/RLController.py:39-56 +
 sim.py:63-108), vectorized.
 
+Race accounting is read DIRECTLY from the fused kernel's pre-autoreset
+telemetry block (current_gate / finished / eliminated rows emitted before
+the same-step reset wipes them — ops/pallas_race_step.py telemetry=True),
+not decoded from reward edges: gates passed per drone is the final
+``current_gate``, completion is the final ``finished`` flag, lap time is
+the first step whose ``finished`` row is set.
+
 Usage:
   python scripts/eval_race.py --policy results/gs_full_policy.msgpack \
-      --config getting_started [--envs 128] [--stochastic]
+      --config getting_started [--envs 128] [--n_drones 4] [--stochastic]
 """
 
 import argparse
@@ -41,11 +48,9 @@ def evaluate(policy_path, config_name="getting_started", n_envs=128,
     track = race_mod.track_from_config(cfg, n_drones)
     B = n_envs
     interpret = jax.devices()[0].platform == "cpu"
-    # per-drone rewards expose gate passes (+5) and finish (+10) as
-    # reward edges — the only pre-autoreset signal that survives a done
-    # step (the packed state is already reset when step returns)
     reset, step = race_rl_rowfast.make_row_env(
-        spec, track, B, interpret=interpret, per_drone_reward=True
+        spec, track, B, interpret=interpret, per_drone_reward=True,
+        telemetry=True,
     )
     net = ActorCritic(act_dim=4)
     tmpl = net.init(jax.random.PRNGKey(0), jnp.zeros((1, spec.obs_size)))
@@ -71,40 +76,37 @@ def evaluate(policy_path, config_name="getting_started", n_envs=128,
             act = jnp.clip(act, -1.0, 1.0)
             act = act.reshape(B, N, 4) if N > 1 else act
             k, ks = jax.random.split(k)
-            st, obs, rew, done = step(st, act, ks)
-            return (st, obs, k), (rew.reshape(B, N), done)
+            st, obs, rew, done, info = step(st, act, ks)
+            cg = info["current_gate"].reshape(B, N)
+            fin = info["finished"].reshape(B, N)
+            return (st, obs, k), (cg, fin, done)
 
-        (st, obs, k), (rews, dones) = jax.lax.scan(
+        (st, obs, k), (cgs, fins, dones) = jax.lax.scan(
             body, (st, obs, key), None, length=ep_steps
         )
-        return rews, dones
+        return cgs, fins, dones
 
-    rews, dones = roll(st, obs0, jax.random.PRNGKey(seed + 1))
-    rews = np.asarray(rews)          # (T, B, N)
+    cgs, fins, dones = roll(st, obs0, jax.random.PRNGKey(seed + 1))
+    cgs = np.asarray(cgs)            # (T, B, N) pre-reset gates passed
+    fins = np.asarray(fins) > 0.5    # (T, B, N) pre-reset finished flags
     dones = np.asarray(dones)        # (T, B)
 
-    # host-side first-episode accounting from reward edges: +5 per gate
-    # pass, +10 finish (the final pass lands as ~+15, 5 + 10 together);
-    # dense progress per step is bounded well below 2.5. The packed state
-    # is already autoreset when step returns, so reward edges are the only
-    # pre-done signal (tested: tests/test_learned_racing.py)
+    # first-episode accounting, directly from the pre-autoreset telemetry:
+    # episode 1 of env b ends (inclusive) at its first done step, or runs
+    # to the rollout horizon
     first_done = np.where(
         dones.any(axis=0), dones.argmax(axis=0), ep_steps - 1
-    )                                 # (B,) inclusive last step of episode 1
+    )                                 # (B,)
+    env_i = np.arange(B)
+    gates = cgs[first_done, env_i, :]           # (B, N) final gates passed
+    has_fin = fins[first_done, env_i, :]        # (B, N) finished the lap
     t_idx = np.arange(ep_steps)[:, None, None]
     live = t_idx <= first_done[None, :, None]
-    # finish fires one env step AFTER the final pass (the finished flag is
-    # read at the next tail evaluation) carrying +10 plus a wrap-around +5
-    # (shape_gate_id mod G, the reference wrapper's lap semantics) — so
-    # finish steps are >= 12.5 and are NOT gate passes themselves
-    passes = (rews >= 2.5) & (rews < 12.5) & live
-    gates = passes.sum(axis=0)                  # (B, N)
-    fin_event = (rews >= 12.5) & live           # (T, B, N)
-    has_fin = fin_event.any(axis=0)             # (B, N)
+    fin_event = fins & live                     # sticky flag, first set = lap
     first_fin = np.where(
-        has_fin, fin_event.argmax(axis=0), ep_steps + 1
+        fin_event.any(axis=0), fin_event.argmax(axis=0), ep_steps + 1
     )                                           # (B, N)
-    completed = has_fin.all(axis=1)             # (B,)
+    completed = has_fin.all(axis=1)             # (B,) every drone finished
     # lap time = when the LAST drone of the env finished
     fin_step = first_fin.max(axis=1)
     lap_t = (fin_step + 1) * spec.steps_per_ctrl / spec.pyb_freq
@@ -112,6 +114,7 @@ def evaluate(policy_path, config_name="getting_started", n_envs=128,
     return {
         "gates_hist": hist,
         "completion_rate": float(completed.mean()),
+        "per_drone_completion_rate": float(has_fin.mean()),
         "mean_gates": float(gates.mean()),
         "mean_lap_time": float(lap_t[completed].mean()) if completed.any()
         else None,

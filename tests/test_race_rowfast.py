@@ -71,11 +71,11 @@ def test_fused_matches_unfused():
         B = 128
         reset, step_f = race_rl_rowfast.make_row_env(
             spec, track, B, interpret=True, fused=True,
-            per_drone_reward=per_drone,
+            per_drone_reward=per_drone, telemetry=True,
         )
         _, step_u = race_rl_rowfast.make_row_env(
             spec, track, B, interpret=True, fused=False,
-            per_drone_reward=per_drone,
+            per_drone_reward=per_drone, telemetry=True,
         )
         key = jax.random.PRNGKey(7)
         st_f = reset(key)
@@ -84,8 +84,8 @@ def test_fused_matches_unfused():
             key, ka, ks = jax.random.split(key, 3)
             shape = (B, n_drones, 4) if n_drones > 1 else (B, 4)
             a = jax.random.uniform(ka, shape, minval=-1.0, maxval=1.0)
-            st_f, obs_f, rew_f, done_f = step_f(st_f, a, ks)
-            st_u, obs_u, rew_u, done_u = step_u(st_u, a, ks)
+            st_f, obs_f, rew_f, done_f, info_f = step_f(st_f, a, ks)
+            st_u, obs_u, rew_u, done_u, info_u = step_u(st_u, a, ks)
             # discrete state identical (integer-valued rows)
             for name in ("current_gate", "eliminated", "finished",
                          "shape_gate_id"):
@@ -94,6 +94,19 @@ def test_fused_matches_unfused():
                     np.asarray(getattr(st_u, name)),
                     err_msg=f"{cfg_name} step {i} {name}",
                 )
+            # pre-autoreset telemetry identical between the two kernels
+            for name in ("current_gate", "eliminated", "finished",
+                         "ep_steps"):
+                np.testing.assert_array_equal(
+                    np.asarray(info_f[name]), np.asarray(info_u[name]),
+                    err_msg=f"{cfg_name} step {i} telemetry {name}",
+                )
+            # telemetry is PRE-reset: on done envs it keeps the terminal
+            # values the post-reset state has already wiped
+            done_np = np.asarray(done_f)
+            if done_np.any() and n_drones == 1:
+                post = np.asarray(st_f.current_gate).reshape(-1)[done_np]
+                assert (post == 0).all()
             np.testing.assert_array_equal(
                 np.asarray(done_f), np.asarray(done_u),
                 err_msg=f"{cfg_name} step {i} done",

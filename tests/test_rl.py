@@ -292,3 +292,34 @@ def test_jax_vector_env_single_transfer_contract():
         venv.reset()
         obs, rew, term, trunc, _ = venv.step(act)
     assert obs.shape[0] == B and rew.shape == (B,)
+
+
+def test_jax_vector_env_seeded_reset():
+    """reset(seed) keys the start-pose jitter AND the autoreset chain
+    (VERDICT r2 item 7): identical seeds -> bitwise-equal batches and
+    trajectories, different seeds -> different initial batches, and the
+    batch has per-env initial-state diversity."""
+    from gym_pybullet_adrp_tpu.envs import JaxVectorEnv
+
+    B = 4
+    venv = JaxVectorEnv(B, ctrl_freq=30, init_pos_jitter=0.1,
+                        init_rpy_jitter=0.05)
+    o1, _ = venv.reset(seed=1)
+    o1b, _ = venv.reset(seed=1)
+    np.testing.assert_array_equal(o1, o1b)
+    o2, _ = venv.reset(seed=2)
+    assert not np.allclose(o1, o2)
+    # per-env diversity within one batch (no shared template broadcast)
+    assert not np.allclose(o1[0], o1[1])
+    # keyed autoreset chain: same seed -> bitwise-equal trajectories
+    act = np.full((B, 1, 4), 0.3, dtype=np.float32)
+    venv.reset(seed=3)
+    tr1 = np.stack([venv.step(act)[0] for _ in range(3)])
+    venv.reset(seed=3)
+    tr2 = np.stack([venv.step(act)[0] for _ in range(3)])
+    np.testing.assert_array_equal(tr1, tr2)
+    # default (jitter 0) keeps the reference-parity deterministic reset
+    venv0 = JaxVectorEnv(B, ctrl_freq=30)
+    a, _ = venv0.reset(seed=1)
+    b, _ = venv0.reset(seed=2)
+    np.testing.assert_array_equal(a, b)
