@@ -6,9 +6,11 @@ from gym_pybullet_adrp_tpu.envs.aviary import (
 from gym_pybullet_adrp_tpu.envs.beta import BetaAviary
 from gym_pybullet_adrp_tpu.envs.cf import CFAviary
 from gym_pybullet_adrp_tpu.envs.race import MultiRaceAviary
+from gym_pybullet_adrp_tpu.envs.race_vector import JaxRaceVectorEnv
 from gym_pybullet_adrp_tpu.envs.vector import JaxVectorEnv
 
 __all__ = [
     "BaseRLAviary", "BetaAviary", "CFAviary", "CtrlAviary", "HoverAviary",
-    "JaxVectorEnv", "MultiHoverAviary", "MultiRaceAviary", "VelocityAviary",
+    "JaxRaceVectorEnv", "JaxVectorEnv", "MultiHoverAviary",
+    "MultiRaceAviary", "VelocityAviary",
 ]

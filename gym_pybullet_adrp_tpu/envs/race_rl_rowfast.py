@@ -808,6 +808,7 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
                 "eliminated": _per_drone_out(eliminated),
                 "finished": _per_drone_out(finished),
                 "ep_steps": ep_steps.reshape(n_envs),
+                "terminated": terminated.reshape(n_envs),
             }
             return new_state, obs, reward_out, done.reshape(n_envs), info
         return new_state, obs, reward_out, done.reshape(n_envs)
@@ -937,6 +938,7 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
                 "eliminated": _per_drone_out(INFO[1]),
                 "finished": _per_drone_out(INFO[2]),
                 "ep_steps": INFO[3][:Tb].reshape(n_envs),
+                "terminated": INFO[4][:Tb].reshape(n_envs) > 0.5,
             }
             return new_state, obs, reward_out, done, info
         return new_state, obs, reward_out, done

@@ -484,9 +484,12 @@ def _fused_kernel(*refs, cfg):
         # pre-autoreset race telemetry (VERDICT r2 item 9): the direct
         # gates-passed / eliminated / finished / episode-step values BEFORE
         # the same-step reset wipes them, so evaluation reads completion
-        # and lap times from state rather than decoding reward edges
+        # and lap times from state rather than decoding reward edges.
+        # Channel 4 is the env-level `terminated` (race logic, pre-OR with
+        # truncation) so gymnasium surfaces can split term/trunc.
         info_out[:] = jnp.stack(
-            [current_gate, eliminated, finished, _tile_done(ep_steps)],
+            [current_gate, eliminated, finished, _tile_done(ep_steps),
+             _tile_done(terminated.astype(px.dtype))],
             axis=0,
         ).astype(S0.dtype)
 
@@ -503,8 +506,8 @@ def race_step_fused(kf, km, arm, ground_z, S, A, R, GG, OO, EP, RST, RSTG,
      episode_len_sec, pyb_freq, drone_r, half_h).
     Returns (S', R', GG', OO', EP', OBS (C,T,128), REW (T,128),
     DONE (Tb,128)); with ``telemetry=True`` an extra
-    INFO (4, T, 128) block of PRE-autoreset rows
-    [current_gate, eliminated, finished, ep_steps] is appended.
+    INFO (5, T, 128) block of PRE-autoreset rows
+    [current_gate, eliminated, finished, ep_steps, terminated] is appended.
     """
     (N, Tb, G, O, gates, obstacles, bounds_hi, heights, compete,
      per_drone_reward, end_after_gate, done_on_collision,
@@ -544,7 +547,7 @@ def race_step_fused(kf, km, arm, ground_z, S, A, R, GG, OO, EP, RST, RSTG,
     )
     if telemetry:
         out_shape = out_shape + (
-            jax.ShapeDtypeStruct((4, T, LANE), dtype),
+            jax.ShapeDtypeStruct((5, T, LANE), dtype),
         )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [vmem] * 9

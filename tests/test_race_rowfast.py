@@ -96,7 +96,7 @@ def test_fused_matches_unfused():
                 )
             # pre-autoreset telemetry identical between the two kernels
             for name in ("current_gate", "eliminated", "finished",
-                         "ep_steps"):
+                         "ep_steps", "terminated"):
                 np.testing.assert_array_equal(
                     np.asarray(info_f[name]), np.asarray(info_u[name]),
                     err_msg=f"{cfg_name} step {i} telemetry {name}",
