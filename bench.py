@@ -40,6 +40,9 @@ def main():
     )
     ap.add_argument("--drones", type=int, default=2,
                     help="drone count for --impl race")
+    ap.add_argument("--no-extras", action="store_true",
+                    help="skip the extra race measurements + roofline keys "
+                         "on the default pallas-rollout run")
     args = ap.parse_args()
 
     import jax
@@ -79,13 +82,13 @@ def main():
     if args.steps is None:
         args.steps = 3840 if args.impl == "pallas-rollout" else 256
 
-    if args.impl == "race":
+    def build_race_fn(n_drones, n_steps):
         from gym_pybullet_adrp_tpu.envs import race as race_mod
         from gym_pybullet_adrp_tpu.envs import race_rl_rowfast
         from gym_pybullet_adrp_tpu.utils.config import load_config
         from gym_pybullet_adrp_tpu.utils.enums import Physics, RaceMode
 
-        N = args.drones
+        N = n_drones
         config = load_config("getting_started")
         spec = race_mod.RaceSpec.from_config(
             config, N, RaceMode.COMPETE if N > 1 else RaceMode.COMPARE,
@@ -110,9 +113,9 @@ def main():
             # of tiny-op latency to every step (harness cost, not env cost)
             k_act, k_env = jax.random.split(key[0])
             actions = jax.random.uniform(
-                k_act, (args.steps,) + act_shape, minval=-1.0, maxval=1.0
+                k_act, (n_steps,) + act_shape, minval=-1.0, maxval=1.0
             )
-            env_keys = jax.random.split(k_env, args.steps)
+            env_keys = jax.random.split(k_env, n_steps)
 
             def body(carry, xs):
                 st, acc = carry
@@ -125,7 +128,10 @@ def main():
             )
             return acc[None]
 
-        fn = partial(fn, state0=state0)
+        return partial(fn, state0=state0)
+
+    if args.impl == "race":
+        fn = build_race_fn(args.drones, args.steps)
     elif args.impl == "pallas-rollout":
         from gym_pybullet_adrp_tpu.envs import fast_hover
         from gym_pybullet_adrp_tpu.ops import pallas_step
@@ -191,36 +197,67 @@ def main():
         )
     key = jax.random.PRNGKey(0)[None]
 
-    # compile + warmup
-    jax.block_until_ready(fn(key))
+    def measure(f, env_steps, repeats):
+        # sustained throughput: dispatch `repeats` independent calls
+        # back-to-back and block once — the device executes them
+        # contiguously, so host/tunnel round-trip latency (~20 ms/call
+        # through the remote-TPU tunnel) isn't charged to every call
+        jax.block_until_ready(f(key))     # compile + warmup
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [f(key) for _ in range(repeats)]
+            jax.block_until_ready(outs)
+            best = min(best, (time.perf_counter() - t0) / repeats)
+        return env_steps / best
 
-    # sustained throughput: dispatch `repeats` independent calls
-    # back-to-back and block once — the device executes them contiguously,
-    # so host/tunnel round-trip latency (~20 ms/call through the remote-TPU
-    # tunnel) isn't charged to every call
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        outs = [fn(key) for _ in range(args.repeats)]
-        jax.block_until_ready(outs)
-        best = min(best, (time.perf_counter() - t0) / args.repeats)
+    steps_per_sec = measure(fn, args.envs * args.steps, args.repeats)
 
-    env_steps = args.envs * args.steps
-    steps_per_sec = env_steps / best
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"race{args.drones}_env_steps_per_sec_per_chip_"
-                    f"{args.envs}envs" if args.impl == "race"
-                    else "env_steps_per_sec_per_chip_4096envs"
-                ),
-                "value": round(steps_per_sec, 1),
-                "unit": "env-steps/s",
-                "vs_baseline": round(steps_per_sec / 1e6, 4),
-            }
+    from gym_pybullet_adrp_tpu.utils import roofline as rf
+
+    out = {
+        "metric": (
+            f"race{args.drones}_env_steps_per_sec_per_chip_"
+            f"{args.envs}envs" if args.impl == "race"
+            else "env_steps_per_sec_per_chip_4096envs"
+        ),
+        "value": round(steps_per_sec, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(steps_per_sec / 1e6, 4),
+    }
+
+    # roofline annotation of the headline number (VERDICT r2 item 4):
+    # analytic HBM bytes/step from the kernel block shapes + XLA-cost-model
+    # FLOPs/step (utils/roofline.py, regenerated by scripts/roofline.py)
+    def annotate(prefix, sps, flops_key, bytes_per_step):
+        pct = rf.roofline_pct(
+            sps, rf.FLOPS_PER_ENV_STEP[flops_key], bytes_per_step
         )
-    )
+        out[f"{prefix}_vpu_pct"] = pct["vpu_pct"]
+        out[f"{prefix}_hbm_pct"] = pct["hbm_pct"]
+
+    if args.impl == "pallas-rollout":
+        annotate("hover", steps_per_sec, "hover",
+                 rf.hover_rollout_bytes_per_step(args.envs))
+        if not args.no_extras:
+            # the flagship race kernels as extra keys on the same line
+            for n in (1, 2):
+                sps = measure(
+                    build_race_fn(n, 256), args.envs * 256,
+                    max(args.repeats // 2, 4),
+                )
+                out[f"race{n}_env_steps_per_sec"] = round(sps, 1)
+                annotate(
+                    f"race{n}", sps, f"race{n}",
+                    rf.race_fused_bytes_per_step(args.envs, n),
+                )
+    elif args.impl == "race" and args.drones in (1, 2):
+        annotate(
+            f"race{args.drones}", steps_per_sec, f"race{args.drones}",
+            rf.race_fused_bytes_per_step(args.envs, args.drones),
+        )
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
