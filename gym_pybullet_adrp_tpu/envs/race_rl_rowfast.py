@@ -125,6 +125,42 @@ class RowRaceState(NamedTuple):
         return self.OO.reshape(o2 // 2, 2, *self.OO.shape[1:])
 
 
+def pack_policy_params(params, dtype=jnp.float32):
+    """Flax ActorCritic params -> the (PP_ROWS, 128) kernel pack consumed
+    by the in-kernel policy forward (ops/pallas_race_step._policy_forward;
+    row offsets PP_*). Pure jnp — traceable, rebuilt once per PPO
+    iteration from the live params."""
+    from gym_pybullet_adrp_tpu.ops import pallas_race_step as prs
+
+    p = params["params"]
+
+    def wT(name):
+        w = p[name]["kernel"].T.astype(dtype)          # (out, in)
+        out, inn = w.shape
+        return jnp.pad(w, ((0, 0), (0, 128 - inn)))
+
+    def brow(vec, rows):
+        v = jnp.asarray(vec, dtype=dtype).reshape(rows, 1)
+        return jnp.broadcast_to(v, (rows, 128))
+
+    pack = jnp.concatenate(
+        [
+            wT("Dense_0"), wT("Dense_1"), wT("Dense_2"),
+            wT("Dense_3"), wT("Dense_4"), wT("Dense_5"),
+            brow(p["Dense_0"]["bias"], 64),
+            brow(p["Dense_1"]["bias"], 64),
+            brow(p["Dense_3"]["bias"], 64),
+            brow(p["Dense_4"]["bias"], 64),
+            brow(p["Dense_2"]["bias"], 4),
+            brow(p["Dense_5"]["bias"], 1),
+            brow(p["log_std"], 4),
+        ],
+        axis=0,
+    )
+    assert pack.shape == (prs.PP_ROWS, 128), pack.shape
+    return pack
+
+
 def supports(spec: RaceSpec) -> bool:
     # unlike race_fast, disturbances are fine: the kernel samples them
     # with the in-chip PRNG (pallas_race.race_window noise=...)
@@ -943,5 +979,102 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
             return new_state, obs, reward_out, done, info
         return new_state, obs, reward_out, done
 
+    def _step_draws(key):
+        """Shared per-step stochastic inputs (disturbance noise + reset
+        draws), with the same key splits as step/step_fused."""
+        if spec.disturbances:
+            key, k_noise = jax.random.split(key)
+            noise = (spec.action_noise_std, spec.dyn_dist_low,
+                     spec.dyn_dist_high)
+            seed, noise_rows = None, None
+            if interpret:
+                kw_, ka_ = jax.random.split(k_noise)
+                lo = jnp.asarray(spec.dyn_dist_low, dtype=f32)
+                hi = jnp.asarray(spec.dyn_dist_high, dtype=f32)
+                nt = spec.steps_per_ctrl
+                wind = lo[:, None, None] + jax.random.uniform(
+                    kw_, (nt, 3, T, LANE), dtype=f32
+                ) * (hi - lo)[:, None, None]
+                act_n = jax.random.normal(
+                    ka_, (nt, 4, T, LANE), dtype=f32
+                ) * spec.action_noise_std
+                noise_rows = jnp.concatenate([wind, act_n], axis=1)
+            else:
+                seed = jax.random.randint(
+                    k_noise, (1,), 0, jnp.iinfo(jnp.int32).max,
+                    dtype=jnp.int32,
+                )
+        else:
+            noise, seed, noise_rows = None, None, None
+        k_state, k_track = jax.random.split(key)
+        pose = reset_pose_rows(k_state)
+        gates_rows, obst_rows, mass_rows, j_rows = reset_track_rows(k_track)
+        RST = jnp.stack(
+            list(pose) + [mass_rows, j_rows[0], j_rows[1], j_rows[2]],
+            axis=0,
+        )
+        return noise, seed, noise_rows, RST, gates_rows, obst_rows
+
+    def step_policy(state: RowRaceState, obs_rows, pp, actn, key):
+        """Policy-in-kernel rollout step (VERDICT r2 item 3): the
+        ActorCritic forward + Gaussian sample + env step + autoreset run
+        as ONE launch. ``obs_rows`` (C, T, 128) is the previous obs in
+        row form (``reset.initial_obs_rows`` for step 0), ``pp`` the
+        ``pack_policy_params`` pack, ``actn`` (4, T, 128) standard-normal
+        draws. Returns ``(state, obs_rows', tr)`` with ``tr`` holding the
+        PPO trajectory rows: unclipped ``action`` (4, T, 128), ``logp`` /
+        ``value`` / ``reward`` (T, 128), ``done`` (Tb, 128)."""
+        noise, seed, noise_rows, RST, gates_rows, obst_rows = \
+            _step_draws(key)
+        out = pallas_race_step.race_step_fused(
+            kf, km, arm, ground_z,
+            state.S, None, state.R, state.GG, state.OO, state.EP,
+            RST.astype(f32),
+            gates_rows.reshape(3 * G, Tb, LANE),
+            obst_rows.reshape(2 * O, Tb, LANE),
+            n_ticks=spec.steps_per_ctrl, dt=1.0 / spec.pyb_freq,
+            spec_tail=spec_tail, interpret=interpret, noise=noise,
+            seed=seed, noise_rows=noise_rows,
+            policy_pack=pp, obs_rows=obs_rows, actn=actn,
+        )
+        S2, R2, GG2, OO2, EP2, OBS, REW, DONE = out[:8]
+        ACT, LOGP, VAL = out[8:11]
+        new_state = RowRaceState(S=S2, R=R2, GG=GG2, OO=OO2, EP=EP2)
+        tr = {
+            "action": ACT, "logp": LOGP, "value": VAL, "reward": REW,
+            "done": DONE,
+        }
+        return new_state, OBS, tr
+
+    def initial_obs_rows(state: RowRaceState):
+        """Row-form (C, T, 128) first-episode obs (initial_obs without
+        the host-layout transpose) — the step_policy carry format."""
+        px, py, pz = state.prev_pos
+        roll, pitch, yaw = state.S[21], state.S[22], state.S[23]
+        z = jnp.zeros_like(px)
+        obs_list = [px, py, pz, roll, pitch, yaw] + [z] * 6
+        for g in range(G):
+            for v in (gates[g, 0], gates[g, 1], gates[g, 2], gates[g, 5]):
+                obs_list.append(jnp.full_like(px, v))
+        obs_list += [z] * G
+        for o in range(O):
+            for v in obstacles[o, :3]:
+                obs_list.append(jnp.full_like(px, v))
+        obs_list += [z] * O
+        obs_list += [z]
+        if compete and N > 1:
+            pose6 = (px, py, pz, roll, pitch, yaw)
+            for j in range(N - 1):
+                for ch in pose6:
+                    blocks = []
+                    for d in range(N):
+                        e_ = [x for x in range(N) if x != d][j]
+                        blocks.append(_d(ch, e_))
+                    obs_list.append(jnp.concatenate(blocks, axis=0))
+        return jnp.stack(obs_list, axis=0).astype(f32)
+
     reset.initial_obs = initial_obs
-    return reset, (step_fused if fused else step)
+    reset.initial_obs_rows = initial_obs_rows
+    step_out = step_fused if fused else step
+    step_out.policy_step = step_policy if fused else None
+    return reset, step_out

@@ -100,13 +100,20 @@ class TrainState(NamedTuple):
 
 
 def make_ppo_core(cfg: PPOConfig, adapter: EnvAdapter, dtype=jnp.float32,
-                  axis_name=None, network=None):
+                  axis_name=None, network=None, rollout_override=None):
     """Build (init_fn, train_step, eval_rollout) for any EnvAdapter.
 
     Pass ``axis_name`` when wrapping in shard_map/pmap so gradients pmean
     over the mesh axis. ``network`` overrides the default MLP ActorCritic —
     any flax module with the same ``(mean, log_std, value)`` call contract
     (e.g. models.policy.CnnActorCritic for pixel observations).
+
+    ``rollout_override(ts) -> (ts, traj, roll_metrics)`` replaces the
+    default scan of (network.apply -> sample -> adapter.step) — used by
+    the policy-in-kernel race rollout (envs/race_rl_rowfast.step_policy),
+    where the policy forward runs inside the env kernel launch. The
+    override must return a :class:`Transition` with (n_steps, batch)
+    leaves and metrics with the same keys as the default rollout.
     """
     network = network or ActorCritic(act_dim=adapter.act_dim)
     if cfg.total_updates is not None:
@@ -253,9 +260,12 @@ def make_ppo_core(cfg: PPOConfig, adapter: EnvAdapter, dtype=jnp.float32,
 
     def train_step(ts: TrainState):
         """One PPO iteration. Returns (train_state, metrics dict)."""
-        ts, (traj, roll_metrics) = jax.lax.scan(
-            rollout_step, ts, None, length=cfg.n_steps
-        )
+        if rollout_override is not None:
+            ts, traj, roll_metrics = rollout_override(ts)
+        else:
+            ts, (traj, roll_metrics) = jax.lax.scan(
+                rollout_step, ts, None, length=cfg.n_steps
+            )
         _, _, last_value = network.apply(ts.params, ts.last_obs)
         advantages, returns = compute_gae(traj, last_value)
 
