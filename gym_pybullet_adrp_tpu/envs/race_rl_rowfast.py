@@ -1078,3 +1078,133 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
     step_out = step_fused if fused else step
     step_out.policy_step = step_policy if fused else None
     return reset, step_out
+
+
+def make_policy_rollout(spec: RaceSpec, reset, step, n_envs: int,
+                        n_steps: int):
+    """Build the policy-in-kernel PPO rollout pieces for a
+    ``make_row_env(fused=True)`` pair (VERDICT r2 item 3).
+
+    Returns ``(batched_reset, rollout_override, adapter_step)``:
+    ``batched_reset(key) -> ((row_state, obs_rows), flat_obs)`` (the env
+    state carries the row-form obs), ``rollout_override(ts)`` for
+    ``rl.ppo.make_ppo_core`` (scans ``step.policy_step`` — ActorCritic
+    forward + sampling inside the env kernel launch, trajectories kept in
+    row form and transposed once per iteration), and an
+    ``EnvAdapter.step``-compatible wrapper for the tuple state.
+    """
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from gym_pybullet_adrp_tpu.rl.ppo import Transition
+
+    B = n_envs
+    N = spec.num_drones
+    Tb = B // LANE
+    T = N * Tb
+    C = spec.obs_size
+    policy_step = step.policy_step
+    assert policy_step is not None, "needs make_row_env(fused=True)"
+
+    def rows_to_flat(x):
+        # (k, T, 128) drone-major rows -> (k, B*N) env-major
+        k = x.shape[0]
+        if N == 1:
+            return x.reshape(k, B)
+        return x.reshape(k, N, B).transpose(0, 2, 1).reshape(k, B * N)
+
+    def chrows_to_flat(x, ch):
+        # (k, ch, T, 128) -> (k, B*N, ch)
+        k = x.shape[0]
+        if N == 1:
+            return x.reshape(k, ch, B).transpose(0, 2, 1)
+        return x.reshape(k, ch, N, B).transpose(0, 3, 2, 1).reshape(
+            k, B * N, ch
+        )
+
+    def flat_to_rows(x):
+        # (B*N,) env-major -> (T, 128) drone-major rows
+        if N == 1:
+            return x.reshape(Tb, LANE)
+        return x.reshape(B, N).T.reshape(T, LANE)
+
+    def batched_reset(key):
+        st = reset(key)
+        obs_rows = reset.initial_obs_rows(st)
+        return (st, obs_rows), chrows_to_flat(obs_rows[None], C)[0]
+
+    def rollout_override(ts):
+        rng, k_act, k_env = _jax.random.split(ts.rng, 3)
+        actn = _jax.random.normal(
+            k_act, (n_steps, 4, T, LANE), dtype=_jnp.float32
+        )
+        env_keys = _jax.random.split(k_env, n_steps)
+        pp = pack_policy_params(ts.params)
+        st, obs_rows = ts.env_state
+        ep_ret = flat_to_rows(ts.ep_return)
+        ep_len = flat_to_rows(ts.ep_len.astype(_jnp.float32))
+
+        def body(carry, xs):
+            st, obs_rows, ep_ret, ep_len = carry
+            a_n, k = xs
+            st2, obs2, tr = policy_step(st, obs_rows, pp, a_n, k)
+            done_rows = _jnp.tile(tr["done"], (N, 1)) > 0.5
+            ep_ret2 = ep_ret + tr["reward"]
+            ep_len2 = ep_len + 1.0
+            fin_ret = _jnp.where(done_rows, ep_ret2, _jnp.nan)
+            fin_len = _jnp.where(done_rows, ep_len2, -1.0)
+            carry = (
+                st2, obs2,
+                _jnp.where(done_rows, 0.0, ep_ret2),
+                _jnp.where(done_rows, 0.0, ep_len2),
+            )
+            ys = (obs_rows, tr["action"], tr["logp"], tr["value"],
+                  tr["reward"], tr["done"], fin_ret, fin_len)
+            return carry, ys
+
+        (st, obs_rows, ep_ret, ep_len), ys = _jax.lax.scan(
+            body, (st, obs_rows, ep_ret, ep_len), (actn, env_keys),
+        )
+        (obs_seq, act_seq, logp_seq, val_seq, rew_seq, done_seq,
+         fin_ret, fin_len) = ys
+        done_flat = done_seq.reshape(n_steps, B) > 0.5
+        if N > 1:
+            done_flat = _jnp.repeat(done_flat, N, axis=1)
+        traj = Transition(
+            obs=chrows_to_flat(obs_seq, C),
+            action=chrows_to_flat(act_seq, 4),
+            logp=rows_to_flat(logp_seq),
+            value=rows_to_flat(val_seq),
+            reward=rows_to_flat(rew_seq),
+            done=done_flat,
+        )
+        metrics = {
+            "finished_return": rows_to_flat(fin_ret),
+            "finished_len": rows_to_flat(fin_len).astype(_jnp.int32),
+        }
+        ts = ts._replace(
+            env_state=(st, obs_rows),
+            last_obs=chrows_to_flat(obs_rows[None], C)[0],
+            rng=rng,
+            ep_return=rows_to_flat(ep_ret[None])[0],
+            ep_len=rows_to_flat(ep_len[None])[0].astype(_jnp.int32),
+        )
+        return ts, traj, metrics
+
+    def adapter_step(env_state, action, key):
+        st, _ = env_state
+        if N == 1:
+            st2, obs, rew, done = step(st, action, key)
+            obs_rows = obs.T.reshape(C, Tb, LANE)
+            return (st2, obs_rows), obs, rew, done
+        act = action.reshape(B, N, 4)
+        st2, obs, rew, done = step(st, act, key)
+        obs_rows = obs.transpose(2, 1, 0).reshape(C, T, LANE)
+        return (
+            (st2, obs_rows),
+            obs.reshape(B * N, C),
+            rew.reshape(B * N),
+            _jnp.repeat(done, N),
+        )
+
+    return batched_reset, rollout_override, adapter_step

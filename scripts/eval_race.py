@@ -79,16 +79,18 @@ def evaluate(policy_path, config_name="getting_started", n_envs=128,
             st, obs, rew, done, info = step(st, act, ks)
             cg = info["current_gate"].reshape(B, N)
             fin = info["finished"].reshape(B, N)
-            return (st, obs, k), (cg, fin, done)
+            el = info["eliminated"].reshape(B, N)
+            return (st, obs, k), (cg, fin, el, done)
 
-        (st, obs, k), (cgs, fins, dones) = jax.lax.scan(
+        (st, obs, k), (cgs, fins, els, dones) = jax.lax.scan(
             body, (st, obs, key), None, length=ep_steps
         )
-        return cgs, fins, dones
+        return cgs, fins, els, dones
 
-    cgs, fins, dones = roll(st, obs0, jax.random.PRNGKey(seed + 1))
+    cgs, fins, els, dones = roll(st, obs0, jax.random.PRNGKey(seed + 1))
     cgs = np.asarray(cgs)            # (T, B, N) pre-reset gates passed
     fins = np.asarray(fins) > 0.5    # (T, B, N) pre-reset finished flags
+    els = np.asarray(els) > 0.5      # (T, B, N) pre-reset eliminated flags
     dones = np.asarray(dones)        # (T, B)
 
     # first-episode accounting, directly from the pre-autoreset telemetry:
@@ -111,10 +113,17 @@ def evaluate(policy_path, config_name="getting_started", n_envs=128,
     fin_step = first_fin.max(axis=1)
     lap_t = (fin_step + 1) * spec.steps_per_ctrl / spec.pyb_freq
     hist = {g: int((gates.min(axis=1) == g).sum()) for g in range(G + 1)}
+    elim = els[first_done, env_i, :]            # (B, N) eliminated flags
     return {
         "gates_hist": hist,
         "completion_rate": float(completed.mean()),
         "per_drone_completion_rate": float(has_fin.mean()),
+        "per_drone_elimination_rate": float(elim.mean()),
+        # mean gates passed by drones that were eliminated (where did
+        # eliminations happen on the track?)
+        "mean_gates_eliminated": (
+            float(gates[elim].mean()) if elim.any() else None
+        ),
         "mean_gates": float(gates.mean()),
         "mean_lap_time": float(lap_t[completed].mean()) if completed.any()
         else None,

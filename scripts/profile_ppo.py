@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--n_steps", type=int, default=64)
     ap.add_argument("--config", default="getting_started")
     ap.add_argument("--shuffle_block", type=int, default=512)
+    ap.add_argument("--fuse_policy", action="store_true",
+                    help="profile the policy-in-kernel rollout "
+                         "(race_rl_rowfast.make_policy_rollout)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -87,7 +90,16 @@ def main():
                          obs_dim=spec.obs_size, act_dim=4)
     cfg = PPOConfig(n_envs=B, n_steps=args.n_steps,
                     shuffle_block=args.shuffle_block)
-    init_fn, train_step, _ = make_ppo_core(cfg, adapter)
+    rollout_override = None
+    if args.fuse_policy:
+        b_reset, rollout_override, fused_step = \
+            race_rl_rowfast.make_policy_rollout(
+                spec, reset, step, B, args.n_steps
+            )
+        adapter = adapter._replace(batched_reset=b_reset, step=fused_step)
+    init_fn, train_step, _ = make_ppo_core(
+        cfg, adapter, rollout_override=rollout_override
+    )
     ts = init_fn(jax.random.PRNGKey(0))
 
     net = ActorCritic(act_dim=4)
@@ -123,11 +135,17 @@ def main():
     key = jax.random.PRNGKey(0)
     train_j = jax.jit(train_step)
     env_j = jax.jit(env_only)
-    roll_j = jax.jit(rollout_only)
-
     t_train = timeit(train_j, ts)
-    t_env = timeit(env_j, ts.env_state, key)
-    t_roll = timeit(roll_j, ts.env_state, ts.last_obs, ts.params, key)
+    if args.fuse_policy:
+        # env-only phase on the bare row state; the fused rollout IS the
+        # rollout phase (policy runs inside the env kernel launch)
+        t_env = timeit(env_j, ts.env_state[0], key)
+        roll_j = jax.jit(lambda t: rollout_override(t)[1].reward)
+        t_roll = timeit(roll_j, ts)
+    else:
+        roll_j = jax.jit(rollout_only)
+        t_env = timeit(env_j, ts.env_state, key)
+        t_roll = timeit(roll_j, ts.env_state, ts.last_obs, ts.params, key)
 
     compiled = train_j.lower(ts).compile()
     flops, bts = cost(compiled)

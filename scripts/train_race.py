@@ -160,124 +160,13 @@ def main():
         )
 
         if args.fuse_policy:
-            N = n_drones
-            Tb = B // 128
-            T = N * Tb
-            C = spec.obs_size
-            K = args.n_steps
-            policy_step = row_step.policy_step
-            from gym_pybullet_adrp_tpu.rl.ppo import Transition
-
-            def rows_to_flat(x):
-                # (k, T, 128) drone-major rows -> (k, B*N) env-major
-                k = x.shape[0]
-                if N == 1:
-                    return x.reshape(k, B)
-                return x.reshape(k, N, B).transpose(0, 2, 1).reshape(
-                    k, B * N
+            (b_reset, rollout_override, fused_step) = \
+                race_rl_rowfast.make_policy_rollout(
+                    spec, row_reset, row_step, B, args.n_steps
                 )
-
-            def chrows_to_flat(x, ch):
-                # (k, ch, T, 128) -> (k, B*N, ch)
-                k = x.shape[0]
-                if N == 1:
-                    return x.reshape(k, ch, B).transpose(0, 2, 1)
-                return x.reshape(k, ch, N, B).transpose(0, 3, 2, 1).reshape(
-                    k, B * N, ch
-                )
-
-            def flat_to_rows(x):
-                # (B*N,) env-major -> (T, 128) drone-major rows
-                if N == 1:
-                    return x.reshape(Tb, 128)
-                return x.reshape(B, N).T.reshape(T, 128)
-
-            def batched_reset(key):          # noqa: F811 - fused variant
-                st = row_reset(key)
-                obs_rows = row_reset.initial_obs_rows(st)
-                flat = chrows_to_flat(obs_rows[None], C)[0]
-                return (st, obs_rows), flat
-
-            adapter = adapter._replace(batched_reset=batched_reset)
-
-            def rollout_override(ts):
-                rng, k_act, k_env = jax.random.split(ts.rng, 3)
-                actn = jax.random.normal(
-                    k_act, (K, 4, T, 128), dtype=jnp.float32
-                )
-                env_keys = jax.random.split(k_env, K)
-                pp = race_rl_rowfast.pack_policy_params(ts.params)
-                st, obs_rows = ts.env_state
-                ep_ret = flat_to_rows(ts.ep_return)
-                ep_len = flat_to_rows(ts.ep_len.astype(jnp.float32))
-
-                def body(carry, xs):
-                    st, obs_rows, ep_ret, ep_len = carry
-                    a_n, k = xs
-                    st2, obs2, tr = policy_step(st, obs_rows, pp, a_n, k)
-                    done_rows = jnp.tile(tr["done"], (N, 1)) > 0.5
-                    ep_ret2 = ep_ret + tr["reward"]
-                    ep_len2 = ep_len + 1.0
-                    fin_ret = jnp.where(done_rows, ep_ret2, jnp.nan)
-                    fin_len = jnp.where(done_rows, ep_len2, -1.0)
-                    carry = (
-                        st2, obs2,
-                        jnp.where(done_rows, 0.0, ep_ret2),
-                        jnp.where(done_rows, 0.0, ep_len2),
-                    )
-                    ys = (obs_rows, tr["action"], tr["logp"], tr["value"],
-                          tr["reward"], tr["done"], fin_ret, fin_len)
-                    return carry, ys
-
-                (st, obs_rows, ep_ret, ep_len), ys = jax.lax.scan(
-                    body, (st, obs_rows, ep_ret, ep_len),
-                    (actn, env_keys),
-                )
-                (obs_seq, act_seq, logp_seq, val_seq, rew_seq, done_seq,
-                 fin_ret, fin_len) = ys
-                done_flat = jnp.repeat(
-                    done_seq.reshape(K, B) > 0.5, N, axis=1
-                ) if N > 1 else (done_seq.reshape(K, B) > 0.5)
-                traj = Transition(
-                    obs=chrows_to_flat(obs_seq, C),
-                    action=chrows_to_flat(act_seq, 4),
-                    logp=rows_to_flat(logp_seq),
-                    value=rows_to_flat(val_seq),
-                    reward=rows_to_flat(rew_seq),
-                    done=done_flat,
-                )
-                metrics = {
-                    "finished_return": rows_to_flat(fin_ret),
-                    "finished_len": rows_to_flat(fin_len).astype(jnp.int32),
-                }
-                ts = ts._replace(
-                    env_state=(st, obs_rows),
-                    last_obs=chrows_to_flat(obs_rows[None], C)[0],
-                    rng=rng,
-                    ep_return=rows_to_flat(ep_ret[None])[0],
-                    ep_len=rows_to_flat(ep_len[None])[0].astype(jnp.int32),
-                )
-                return ts, traj, metrics
-
-            # adapter.step for the (state, obs_rows) env_state tuple (the
-            # eval path; the trainer itself uses rollout_override)
-            def fused_adapter_step(env_state, action, key):
-                st, _ = env_state
-                if N == 1:
-                    st2, obs, rew, done = row_step(st, action, key)
-                    obs_rows = obs.T.reshape(C, Tb, 128)
-                    return (st2, obs_rows), obs, rew, done
-                act = action.reshape(B, N, 4)
-                st2, obs, rew, done = row_step(st, act, key)
-                obs_rows = obs.transpose(2, 1, 0).reshape(C, T, 128)
-                return (
-                    (st2, obs_rows),
-                    obs.reshape(B * N, C),
-                    rew.reshape(B * N),
-                    jnp.repeat(done, N),
-                )
-
-            adapter = adapter._replace(step=fused_adapter_step)
+            adapter = adapter._replace(
+                batched_reset=b_reset, step=fused_step
+            )
     else:
         def step(env_state, action, key):
             keys = jax.random.split(key, cfg.n_envs)
