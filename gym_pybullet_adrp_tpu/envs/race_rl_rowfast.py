@@ -182,7 +182,7 @@ def _track_consts(spec: RaceSpec, track: RaceTrack):
 def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
                  end_after_gate: int = 0, interpret: bool = False,
                  per_drone_reward: bool = False, fused: bool = True,
-                 telemetry: bool = False):
+                 telemetry: bool = False, elim_penalty: float = 1.0):
     """Build ``(reset(key) -> state, step(state, action, key) ->
     (state, obs, reward, done(B,)))`` in row form.
 
@@ -205,6 +205,12 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
     window-kernel + XLA-row-tail twin, which
     tests/test_race_rowfast.py::test_fused_matches_unfused pins bitwise
     against the fused path (same jax.random reset draws by construction).
+
+    ``elim_penalty`` scales the per-drone sparse penalty a drone receives
+    the step it is eliminated (default 1.0 = the reference RewardWrapper's
+    -1 collision term; training-time shaping knob — the level3-mastery
+    artifact trains with a strong penalty so eliminations dominate the
+    return signal).
 
     ``telemetry=True`` appends an ``info`` dict to the step return —
     PRE-autoreset rows ``current_gate`` / ``eliminated`` / ``finished``
@@ -725,7 +731,7 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
             # +10 the step it finishes the lap
             elim_edge = eliminated - state.eliminated
             finish_edge = finished - state.finished
-            reward = progress - elim_edge + 10.0 * finish_edge
+            reward = progress - elim_penalty * elim_edge + 10.0 * finish_edge
         else:
             # reference semantics: drone-0 shaping, env-level sparse terms
             r_coll = jnp.where(terminated & ~task_completed, -1.0, 0.0)
@@ -954,6 +960,7 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
             n_ticks=spec.steps_per_ctrl, dt=1.0 / spec.pyb_freq,
             spec_tail=spec_tail, interpret=interpret, noise=noise,
             seed=seed, noise_rows=noise_rows, telemetry=telemetry,
+            elim_penalty=elim_penalty,
         )
         S2, R2, GG2, OO2, EP2, OBS, REW, DONE = out[:8]
         new_state = RowRaceState(S=S2, R=R2, GG=GG2, OO=OO2, EP=EP2)
@@ -1036,6 +1043,7 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
             spec_tail=spec_tail, interpret=interpret, noise=noise,
             seed=seed, noise_rows=noise_rows,
             policy_pack=pp, obs_rows=obs_rows, actn=actn,
+            elim_penalty=elim_penalty,
         )
         S2, R2, GG2, OO2, EP2, OBS, REW, DONE = out[:8]
         ACT, LOGP, VAL = out[8:11]

@@ -138,7 +138,8 @@ def _fused_kernel(*refs, cfg):
     (n_ticks, dt, kf, km, arm, ground_z, N, Tb, G, O, gates, obstacles,
      bounds_hi, heights, compete, per_drone_reward, end_after_gate,
      done_on_collision, done_on_completion, episode_len_sec, pyb_freq,
-     noise, noise_rows, drone_r, half_h, unroll, telemetry, policy) = cfg
+     noise, noise_rows, drone_r, half_h, unroll, telemetry, policy,
+     elim_penalty) = cfg
 
     idx = 0
     if noise is not None and not noise_rows:
@@ -460,7 +461,7 @@ def _fused_kernel(*refs, cfg):
     if per_drone_reward:
         elim_edge = eliminated - Rb[1]
         finish_edge = finished - Rb[2]
-        reward = progress - elim_edge + 10.0 * finish_edge
+        reward = progress - elim_penalty * elim_edge + 10.0 * finish_edge
     else:
         r_coll = jnp.where(terminated & ~task_completed, -1.0, 0.0)
         r_lap = jnp.where(terminated & task_completed, 10.0, 0.0)
@@ -605,7 +606,8 @@ def _fused_kernel(*refs, cfg):
 def race_step_fused(kf, km, arm, ground_z, S, A, R, GG, OO, EP, RST, RSTG,
                     RSTO, *, n_ticks, dt, spec_tail, interpret=False,
                     noise=None, seed=None, noise_rows=None, telemetry=False,
-                    policy_pack=None, obs_rows=None, actn=None):
+                    policy_pack=None, obs_rows=None, actn=None,
+                    elim_penalty=1.0):
     """One fused race RL step over the packed state blocks.
 
     ``spec_tail`` is a tuple of the static tail parameters:
@@ -649,6 +651,7 @@ def race_step_fused(kf, km, arm, ground_z, S, A, R, GG, OO, EP, RST, RSTG,
         float(episode_len_sec), float(pyb_freq),
         noise, noise_rows is not None, float(drone_r), float(half_h),
         not interpret, bool(telemetry), policy_pack is not None,
+        float(elim_penalty),
     )
     T = N * Tb
     C = 12 + 5 * G + 4 * O + 1 + (6 * (N - 1) if compete and N > 1 else 0)

@@ -62,8 +62,10 @@ def evaluate(policy_path, config_name="getting_started", n_envs=128,
     st = reset(jax.random.PRNGKey(seed))
     obs0 = reset.initial_obs(st)
 
+    # params are an ARGUMENT (not a closure constant): evaluating a new
+    # artifact reuses the compiled roll from the persistent cache
     @jax.jit
-    def roll(st, obs, key):
+    def roll(params, st, obs, key):
         def body(carry, _):
             st, obs, k = carry
             flat = obs.reshape(B * N, -1) if N > 1 else obs
@@ -87,7 +89,8 @@ def evaluate(policy_path, config_name="getting_started", n_envs=128,
         )
         return cgs, fins, els, dones
 
-    cgs, fins, els, dones = roll(st, obs0, jax.random.PRNGKey(seed + 1))
+    cgs, fins, els, dones = roll(params, st, obs0,
+                                 jax.random.PRNGKey(seed + 1))
     cgs = np.asarray(cgs)            # (T, B, N) pre-reset gates passed
     fins = np.asarray(fins) > 0.5    # (T, B, N) pre-reset finished flags
     els = np.asarray(els) > 0.5      # (T, B, N) pre-reset eliminated flags

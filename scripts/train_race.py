@@ -52,6 +52,9 @@ def main():
                     help="fully row-major env path (envs/race_rl_rowfast.py;"
                          " fastest; whole level0-3 ladder incl. randomized "
                          "tracks and in-kernel PRNG disturbances)")
+    ap.add_argument("--elim_penalty", type=float, default=1.0,
+                    help="per-drone sparse penalty at elimination "
+                         "(rowfast self-play shaping; 1.0 = reference)")
     ap.add_argument("--fuse_policy", action="store_true",
                     help="run the ActorCritic forward + Gaussian sampling "
                          "INSIDE the fused race kernel (rowfast only): the "
@@ -129,6 +132,7 @@ def main():
             spec, track, B, end_after_gate=end_after,
             per_drone_reward=(n_drones > 1),
             interpret=jax.devices()[0].platform == "cpu",
+            elim_penalty=args.elim_penalty,
         )
 
         def batched_reset(key):
