@@ -44,6 +44,9 @@ def main():
                     help="override PPO entropy bonus")
     ap.add_argument("--lr", type=float, default=None,
                     help="override PPO learning rate")
+    ap.add_argument("--lr_decay", action="store_true",
+                    help="linear LR decay to 0 over the run (SB3's "
+                         "schedule shape)")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--fast", action="store_true",
                     help="run the firmware window through the Pallas race "
@@ -112,6 +115,10 @@ def main():
         cfg = dataclasses.replace(cfg, ent_coef=args.ent_coef)
     if args.lr is not None:
         cfg = dataclasses.replace(cfg, lr=args.lr)
+    if args.lr_decay:
+        cfg = dataclasses.replace(
+            cfg, total_updates=cfg.updates_for_iters(args.iters)
+        )
     end_after = args.end_after_gate
 
     reset1 = lambda key: race_rl.rl_race_reset(spec, track, key)
@@ -236,7 +243,9 @@ def main():
                 flush=True,
             )
         if args.save_every and (it + 1) % args.save_every == 0:
-            ckpt.save_policy(args.out, ts.params)
+            # numbered snapshots: post-hoc checkpoint selection by eval
+            stem = args.out.rsplit(".", 1)
+            ckpt.save_policy(f"{stem[0]}_it{it + 1}.{stem[1]}", ts.params)
 
     ckpt.save_policy(args.out, ts.params)
     print("saved policy:", args.out)
