@@ -242,9 +242,10 @@ def main():
         if not args.no_extras:
             # the flagship race kernels as extra keys on the same line
             for n in (1, 2):
+                # full `repeats` dispatch depth: at 8 the per-call
+                # dispatch overhead shaved ~25% off the race numbers
                 sps = measure(
-                    build_race_fn(n, 256), args.envs * 256,
-                    max(args.repeats // 2, 4),
+                    build_race_fn(n, 256), args.envs * 256, args.repeats,
                 )
                 out[f"race{n}_env_steps_per_sec"] = round(sps, 1)
                 annotate(
