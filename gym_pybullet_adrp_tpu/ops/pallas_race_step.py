@@ -119,18 +119,19 @@ def _policy_forward(pp, obs, actn, C, T):
         n = actn[:, t, :]                                  # (4, 128)
         action = mean + std * n
         # logp of the sampled action under N(mean, std): the normalized
-        # residual IS the drawn noise
-        logp = jnp.sum(
-            -0.5 * (n * n + 2.0 * log_std + LOG_2PI), axis=0,
-            keepdims=True,
-        )
+        # residual IS the drawn noise. Summed via explicit row adds —
+        # Mosaic (v5e) rejects a sublane-axis multi_reduction over a
+        # 4-row block with offset layouts.
+        contrib = -0.5 * (n * n + 2.0 * log_std + LOG_2PI)  # (4, 128)
+        logp = (contrib[0:1] + contrib[1:2]
+                + contrib[2:3] + contrib[3:4])              # (1, 128)
         acts.append(action)
-        logps.append(logp[0])
-        vals.append(val[0])
+        logps.append(logp)
+        vals.append(val)
     return (
-        jnp.stack(acts, axis=1),       # (4, T, 128)
-        jnp.stack(logps, axis=0),      # (T, 128)
-        jnp.stack(vals, axis=0),       # (T, 128)
+        jnp.stack(acts, axis=1),            # (4, T, 128)
+        jnp.concatenate(logps, axis=0),     # (T, 128)
+        jnp.concatenate(vals, axis=0),      # (T, 128)
     )
 
 
