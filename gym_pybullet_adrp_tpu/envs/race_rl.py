@@ -173,13 +173,18 @@ def autoreset_race_step(spec: RaceSpec, track: RaceTrack, state: RaceRLState,
 
 def batched_rl_race_step(spec: RaceSpec, track: RaceTrack, bstate,
                          action, keys, end_after_gate: int = 0,
-                         fast: bool = False):
+                         fast: bool = False, telemetry: bool = False):
     """Batch-level shaped training step with autoreset.
 
     bstate: RaceRLState with (B, ...) leaves; action (B, N, 4) in [-1, 1];
     keys (B,) PRNG keys for per-episode re-randomized resets. With
     ``fast=True`` the firmware window runs through the Pallas race kernel
-    (envs/race_fast.py) in ONE launch for all B*N agents.
+    (envs/race_fast.py) in ONE launch for all B*N agents. With
+    ``telemetry=True`` a sixth return value carries the PRE-autoreset race
+    rows {current_gate, eliminated, finished, ep_steps} — captured after
+    the step but before the on-done reset wipes them, matching the fused
+    kernel's telemetry block (ops/pallas_race_step.py) so both
+    JaxRaceVectorEnv backends surface identical ``infos`` on done steps.
     """
     from gym_pybullet_adrp_tpu.envs import race_fast
 
@@ -225,6 +230,14 @@ def batched_rl_race_step(spec: RaceSpec, track: RaceTrack, bstate,
     )(bstate, rs, obs, terminated, info["task_completed"])
 
     done = terminated | truncated
+    telem = None
+    if telemetry:
+        telem = {
+            "current_gate": rs.current_gate,
+            "eliminated": rs.eliminated,
+            "finished": rs.finished,
+            "ep_steps": rs.step_counter / spec.steps_per_ctrl,
+        }
     reset_states = jax.vmap(
         lambda k: rl_race_reset(spec, track, k, dtype=obs.dtype)
     )(keys)
@@ -240,4 +253,6 @@ def batched_rl_race_step(spec: RaceSpec, track: RaceTrack, bstate,
         jax.vmap(lambda s: race_mod.compute_obs(spec, track, s.race))(new_state),
         obs,
     )
+    if telemetry:
+        return new_state, obs, reward, terminated, truncated, telem
     return new_state, obs, reward, terminated, truncated

@@ -126,38 +126,50 @@ class RowRaceState(NamedTuple):
 
 
 def pack_policy_params(params, dtype=jnp.float32):
-    """Flax ActorCritic params -> the (PP_ROWS, 128) kernel pack consumed
-    by the in-kernel policy forward (ops/pallas_race_step._policy_forward;
-    row offsets PP_*). Pure jnp — traceable, rebuilt once per PPO
-    iteration from the live params."""
+    """Flax ActorCritic params -> the (rows, 128) kernel pack consumed by
+    the in-kernel policy forward (ops/pallas_race_step._policy_forward;
+    layout ``pp_layout`` — tower widths inferred from the param shapes,
+    inner dims > 128 chunked into 128-column blocks). Pure jnp —
+    traceable, rebuilt once per PPO iteration from the live params."""
     from gym_pybullet_adrp_tpu.ops import pallas_race_step as prs
 
     p = params["params"]
+    C = p["Dense_0"]["kernel"].shape[0]
+    hidden = (p["Dense_0"]["kernel"].shape[1],
+              p["Dense_1"]["kernel"].shape[1])
 
     def wT(name):
         w = p[name]["kernel"].T.astype(dtype)          # (out, in)
         out, inn = w.shape
-        return jnp.pad(w, ((0, 0), (0, 128 - inn)))
+        chunks = []
+        for j in range(0, inn, 128):
+            blk = w[:, j:j + 128]
+            chunks.append(
+                jnp.pad(blk, ((0, 0), (0, 128 - blk.shape[1])))
+            )
+        return jnp.concatenate(chunks, axis=0)
 
     def brow(vec, rows):
         v = jnp.asarray(vec, dtype=dtype).reshape(rows, 1)
         return jnp.broadcast_to(v, (rows, 128))
 
+    H1, H2 = hidden
     pack = jnp.concatenate(
         [
             wT("Dense_0"), wT("Dense_1"), wT("Dense_2"),
             wT("Dense_3"), wT("Dense_4"), wT("Dense_5"),
-            brow(p["Dense_0"]["bias"], 64),
-            brow(p["Dense_1"]["bias"], 64),
-            brow(p["Dense_3"]["bias"], 64),
-            brow(p["Dense_4"]["bias"], 64),
+            brow(p["Dense_0"]["bias"], H1),
+            brow(p["Dense_1"]["bias"], H2),
+            brow(p["Dense_3"]["bias"], H1),
+            brow(p["Dense_4"]["bias"], H2),
             brow(p["Dense_2"]["bias"], 4),
             brow(p["Dense_5"]["bias"], 1),
             brow(p["log_std"], 4),
         ],
         axis=0,
     )
-    assert pack.shape == (prs.PP_ROWS, 128), pack.shape
+    _, rows = prs.pp_layout(C, hidden)
+    assert pack.shape == (rows, 128), (pack.shape, rows)
     return pack
 
 
@@ -182,7 +194,8 @@ def _track_consts(spec: RaceSpec, track: RaceTrack):
 def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
                  end_after_gate: int = 0, interpret: bool = False,
                  per_drone_reward: bool = False, fused: bool = True,
-                 telemetry: bool = False, elim_penalty: float = 1.0):
+                 telemetry: bool = False, elim_penalty: float = 1.0,
+                 policy_hidden=(64, 64)):
     """Build ``(reset(key) -> state, step(state, action, key) ->
     (state, obs, reward, done(B,)))`` in row form.
 
@@ -1041,18 +1054,110 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
             obst_rows.reshape(2 * O, Tb, LANE),
             n_ticks=spec.steps_per_ctrl, dt=1.0 / spec.pyb_freq,
             spec_tail=spec_tail, interpret=interpret, noise=noise,
-            seed=seed, noise_rows=noise_rows,
+            seed=seed, noise_rows=noise_rows, telemetry=telemetry,
             policy_pack=pp, obs_rows=obs_rows, actn=actn,
-            elim_penalty=elim_penalty,
+            elim_penalty=elim_penalty, policy_hidden=policy_hidden,
         )
         S2, R2, GG2, OO2, EP2, OBS, REW, DONE = out[:8]
-        ACT, LOGP, VAL = out[8:11]
+        # output offsets follow the telemetry flag: with telemetry the
+        # kernel appends an INFO block before the policy outputs
+        base = 9 if telemetry else 8
+        ACT, LOGP, VAL = out[base:base + 3]
         new_state = RowRaceState(S=S2, R=R2, GG=GG2, OO=OO2, EP=EP2)
         tr = {
             "action": ACT, "logp": LOGP, "value": VAL, "reward": REW,
             "done": DONE,
         }
+        if telemetry:
+            tr["info"] = out[8]
         return new_state, OBS, tr
+
+    def _stacked_draws(keys):
+        """Per-step stochastic inputs for K steps, stacked along a leading
+        K axis — jax.vmap of ``_step_draws`` over the per-step keys, so
+        every draw is bitwise-identical to K sequential step calls."""
+        if spec.disturbances:
+            noise_t = (spec.action_noise_std, spec.dyn_dist_low,
+                       spec.dyn_dist_high)
+        else:
+            noise_t = None
+
+        def one(key):
+            _, seed, noise_rows, RST, gates_rows, obst_rows = \
+                _step_draws(key)
+            res = [RST.astype(f32),
+                   gates_rows.reshape(3 * G, Tb, LANE).astype(f32),
+                   obst_rows.reshape(2 * O, Tb, LANE).astype(f32)]
+            if seed is not None:
+                res.append(seed[0])
+            if noise_rows is not None:
+                res.append(noise_rows)
+            return tuple(res)
+
+        outs = jax.vmap(one)(keys)
+        RSTs, GRs, ORs = outs[0], outs[1], outs[2]
+        seeds = nrs = None
+        if spec.disturbances:
+            if interpret:
+                nrs = outs[3]
+            else:
+                seeds = outs[3]
+        return noise_t, seeds, nrs, RSTs, GRs, ORs
+
+    def rollout_steps(state: RowRaceState, action, keys):
+        """K fused env steps in ONE kernel launch (grid over steps; the
+        state blocks stay VMEM-resident between steps —
+        ops/pallas_race_step.race_rollout). Bitwise-identical to K
+        sequential ``step_fused(state, action[i], keys[i])`` calls.
+        ``action``: (K, n_envs, 4) or (K, n_envs, N, 4) in [-1, 1];
+        ``keys``: (K,) PRNG keys. Returns
+        (state', REW (K, T, 128), DONE (K, Tb, 128))."""
+        K = keys.shape[0]
+        a = jnp.clip(action, -1.0, 1.0) * jnp.asarray(
+            [1.0, 1.0, 1.0, np.pi]
+        )
+        if N == 1 and a.ndim == 3:
+            rows = a.transpose(0, 2, 1).reshape(K, 4, T, LANE)
+        else:
+            rows = a.transpose(0, 3, 2, 1).reshape(K, 4, T, LANE)
+        noise_t, seeds, nrs, RSTs, GRs, ORs = _stacked_draws(keys)
+        out = pallas_race_step.race_rollout(
+            kf, km, arm, ground_z, state.S, rows.astype(f32), state.R,
+            state.GG, state.OO, state.EP, RSTs, GRs, ORs,
+            n_ticks=spec.steps_per_ctrl, dt=1.0 / spec.pyb_freq,
+            spec_tail=spec_tail, interpret=interpret, noise=noise_t,
+            seeds=seeds, noise_rows_seq=nrs, telemetry=False,
+            emit_obs=False, elim_penalty=elim_penalty,
+        )
+        S2, R2, GG2, OO2, EP2, REW, DONE = out[:7]
+        new_state = RowRaceState(S=S2, R=R2, GG=GG2, OO=OO2, EP=EP2)
+        return new_state, REW, DONE
+
+    def rollout_policy(state: RowRaceState, obs_rows, pp, actn_seq, keys):
+        """K policy-in-kernel steps in ONE launch: the ActorCritic forward
+        + Gaussian sample + env step + autoreset for each of K steps, with
+        the policy pack and state VMEM-resident throughout. Matches K
+        sequential ``step_policy`` calls. Returns ``(state', obs_rows',
+        tr)`` with tr rows stacked (K, ...): the POST-step obs sequence
+        plus action/logp/value/reward/done."""
+        noise_t, seeds, nrs, RSTs, GRs, ORs = _stacked_draws(keys)
+        out = pallas_race_step.race_rollout(
+            kf, km, arm, ground_z, state.S, None, state.R,
+            state.GG, state.OO, state.EP, RSTs, GRs, ORs,
+            n_ticks=spec.steps_per_ctrl, dt=1.0 / spec.pyb_freq,
+            spec_tail=spec_tail, interpret=interpret, noise=noise_t,
+            seeds=seeds, noise_rows_seq=nrs, telemetry=False,
+            emit_obs=True, policy_pack=pp, obs_rows=obs_rows,
+            actn_seq=actn_seq, elim_penalty=elim_penalty,
+            policy_hidden=policy_hidden,
+        )
+        S2, R2, GG2, OO2, EP2, REW, DONE, OBS, ACT, LOGP, VAL = out[:11]
+        new_state = RowRaceState(S=S2, R=R2, GG=GG2, OO=OO2, EP=EP2)
+        tr = {
+            "obs": OBS, "action": ACT, "logp": LOGP, "value": VAL,
+            "reward": REW, "done": DONE,
+        }
+        return new_state, OBS[-1], tr
 
     def initial_obs_rows(state: RowRaceState):
         """Row-form (C, T, 128) first-episode obs (initial_obs without
@@ -1085,6 +1190,8 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
     reset.initial_obs_rows = initial_obs_rows
     step_out = step_fused if fused else step
     step_out.policy_step = step_policy if fused else None
+    step_out.rollout_steps = rollout_steps if fused else None
+    step_out.rollout_policy = rollout_policy if fused else None
     return reset, step_out
 
 

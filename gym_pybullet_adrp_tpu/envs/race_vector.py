@@ -17,8 +17,9 @@ Semantics mirror ``MultiRaceAviary.step`` (reference MultiRaceAviary.py:
 is already the next episode's first observation. The ended episode's
 pre-reset race state (gates passed, eliminated, finished, episode step,
 terminated-vs-truncated) is surfaced through ``infos`` DIRECTLY from the
-kernel's telemetry block — the reference surfaces the same values through
-its pre-reset state/info dict. A terminal *observation* is not emitted
+kernel's telemetry block (general fallback: the same pre-reset tap inside
+``race_rl.batched_rl_race_step``) — the reference surfaces the same values
+through its pre-reset state/info dict. A terminal *observation* is not emitted
 (the fused kernel overwrites done rows in-launch); trainers that bootstrap
 V(s_T) on truncation should use the telemetry + done masking.
 
@@ -43,7 +44,7 @@ except AttributeError:  # pragma: no cover - older gymnasium
     _AUTORESET_SAME_STEP = "SameStep"
 
 from gym_pybullet_adrp_tpu.envs import race as race_mod
-from gym_pybullet_adrp_tpu.envs import race_rl, race_rl_rowfast
+from gym_pybullet_adrp_tpu.envs import race_rl, race_rl_rowfast, vector
 from gym_pybullet_adrp_tpu.utils.config import load_config
 from gym_pybullet_adrp_tpu.utils.enums import Physics, RaceMode
 
@@ -79,13 +80,19 @@ class JaxRaceVectorEnv(VectorEnv):
             racemode = (
                 RaceMode.COMPETE if num_drones > 1 else RaceMode.COMPARE
             )
-        if per_drone_reward is None:
-            # reference RewardWrapper shapes drone 0 only; self-play wants
-            # every drone's own shaping
-            per_drone_reward = num_drones > 1
         spec = race_mod.RaceSpec.from_config(
             cfg, num_drones, racemode, physics
         )
+        fused_ok = backend != "general" and (
+            race_rl_rowfast.supports(spec) and num_envs % 128 == 0
+        )
+        if per_drone_reward is None:
+            # reference RewardWrapper shapes drone 0 only; self-play wants
+            # every drone's own shaping — but only the fused row backend
+            # implements it, so default to it only when that backend
+            # qualifies (an explicit per_drone_reward=True on a non-fused
+            # spec still raises below)
+            per_drone_reward = num_drones > 1 and fused_ok
         track = race_mod.track_from_config(cfg, num_drones)
         self.spec_, self.track = spec, track
         self.num_envs = num_envs
@@ -107,9 +114,7 @@ class JaxRaceVectorEnv(VectorEnv):
         self.action_space = batch_space(self.single_action_space, num_envs)
 
         interpret = jax.devices()[0].platform == "cpu"
-        self.fused_backend = backend != "general" and (
-            race_rl_rowfast.supports(spec) and num_envs % 128 == 0
-        )
+        self.fused_backend = fused_ok
         if backend == "fused" and not self.fused_backend:
             raise ValueError(
                 "backend='fused' needs PYB physics, CF2X drones and "
@@ -168,10 +173,10 @@ class JaxRaceVectorEnv(VectorEnv):
                 return st, packed, k_next
         else:
             # general vmapped path (DYN physics / RACE model / off-lane
-            # batch sizes) — same contract, no row kernel. NOTE: its
-            # telemetry reads the POST-autoreset state (the general path
-            # has no pre-reset tap), so on done steps the race rows are
-            # already wiped — the fused backend's telemetry is pre-reset.
+            # batch sizes) — same contract, no row kernel. Telemetry is
+            # PRE-autoreset on both backends: batched_rl_race_step's
+            # telemetry tap captures the race rows before the on-done
+            # reset wipes them (envs/race_rl.py).
             def reset_general(key):
                 keys = jax.random.split(key, num_envs)
                 return jax.vmap(
@@ -197,11 +202,12 @@ class JaxRaceVectorEnv(VectorEnv):
                 k_env, k_next = jax.random.split(key)
                 keys = jax.random.split(k_env, num_envs)
                 a = act.reshape(num_envs, N, 4)
-                st, obs, reward, term, trunc = race_rl.batched_rl_race_step(
-                    spec, track, st, a, keys,
-                    end_after_gate=end_after_gate,
+                st, obs, reward, term, trunc, telem = (
+                    race_rl.batched_rl_race_step(
+                        spec, track, st, a, keys,
+                        end_after_gate=end_after_gate, telemetry=True,
+                    )
                 )
-                race = st.race
                 done = term | trunc
                 rew = (
                     reward.reshape(num_envs, rew_cols)
@@ -214,19 +220,18 @@ class JaxRaceVectorEnv(VectorEnv):
                         rew.astype(jnp.float32),
                         done[:, None].astype(jnp.float32),
                         term[:, None].astype(jnp.float32),
-                        race.current_gate.reshape(num_envs, N).astype(
+                        telem["current_gate"].reshape(num_envs, N).astype(
                             jnp.float32
                         ),
-                        race.eliminated.reshape(num_envs, N).astype(
+                        telem["eliminated"].reshape(num_envs, N).astype(
                             jnp.float32
                         ),
-                        race.finished.reshape(num_envs, N).astype(
+                        telem["finished"].reshape(num_envs, N).astype(
                             jnp.float32
                         ),
-                        race.step_counter.reshape(num_envs, 1).astype(
+                        telem["ep_steps"].reshape(num_envs, 1).astype(
                             jnp.float32
-                        )
-                        / spec.steps_per_ctrl,
+                        ),
                     ],
                     axis=1,
                 )
@@ -237,7 +242,10 @@ class JaxRaceVectorEnv(VectorEnv):
         self._obs_cols = N * C
         self._state = None
         self._key = None
-        self._unseeded_count = 0
+        # unseeded resets count up from 2**31 (same convention as
+        # JaxVectorEnv): deterministic per process, disjoint from the
+        # small explicit seeds users pass, so reset() != reset(seed=0)
+        self._unseeded_count = vector._UNSEEDED_BASE
 
     def reset(self, seed: Optional[int] = None, options: Optional[dict] = None):
         del options

@@ -40,6 +40,10 @@ except AttributeError:  # pragma: no cover - older gymnasium
 
 from gym_pybullet_adrp_tpu.envs import rl
 from gym_pybullet_adrp_tpu.envs.aviary import HoverAviary, MultiHoverAviary
+
+# first seed used by reset(seed=None): disjoint from the small explicit
+# seeds users pass, so an unseeded reset never aliases reset(seed=0)
+_UNSEEDED_BASE = 1 << 31
 from gym_pybullet_adrp_tpu.utils.enums import ActionType, DroneModel
 
 
@@ -160,14 +164,18 @@ class JaxVectorEnv(VectorEnv):
         self._jit_step = _step
         self._state = None
         self._key = None
-        self._unseeded_count = 0
+        # unseeded resets draw from a counter disjoint from small user
+        # seeds (seed=None must not alias an explicit reset(seed=0))
+        self._unseeded_count = _UNSEEDED_BASE
 
     def reset(self, seed: Optional[int] = None, options: Optional[dict] = None):
         # the seed keys the initial-state jitter draws AND the autoreset key
         # chain: identical seeds -> bitwise-identical batches; with
         # init_pos_jitter/init_rpy_jitter > 0, different seeds -> different
         # initial batches (VERDICT r2 item 7). `seed=None` advances an
-        # internal counter (gymnasium's "don't reseed" convention).
+        # internal counter starting at 2**31 — deterministic per process
+        # (gymnasium's "don't reseed" convention, without aliasing small
+        # explicit seeds).
         del options
         if seed is None:
             seed = self._unseeded_count

@@ -234,7 +234,11 @@ def _window_loop(st, wv, *, n_ticks, dt, kf, km, arm, ground_z,
             outs.append((pv, dv / safe_T, av / (safe_T * safe_T)))
         return outs  # [(p, v, a)] x 4 channels
 
-    def tick_body(i, st):
+    def tick_tuple(i, st):
+        """One firmware tick over the 58 channel rows as a TUPLE (st[c] is
+        a (T, 128) row). Carrying rows instead of the stacked block lets
+        the unrolled TPU path skip 19 intermediate (58, T, 128)
+        stack/unstack round trips — identical math, identical bits."""
         px, py, pz = st[0], st[1], st[2]
         qx, qy, qz, qw = st[3], st[4], st[5], st[6]
         vx, vy, vz = st[7], st[8], st[9]
@@ -616,8 +620,9 @@ def _window_loop(st, wv, *, n_ticks, dt, kf, km, arm, ground_z,
         new_last_pos = jnp.where(pos_due & ~tumbled, cur_time, st[54])
         new_err = jnp.where(tumbled, 1.0, st[57])
 
-        return jnp.stack(
-            [
+        dt_ = st[0].dtype  # keep the carry dtype under ambient x64
+        return tuple(
+            v.astype(dt_) for v in (
                 px, py, pz, qx, qy, qz, qw, vx, vy, vz, wx, wy, wz,
                 new_rpm[0], new_rpm[1], new_rpm[2], new_rpm[3],
                 prev_rpms[0], prev_rpms[1], prev_rpms[2], prev_rpms[3],
@@ -633,14 +638,26 @@ def _window_loop(st, wv, *, n_ticks, dt, kf, km, arm, ground_z,
                 ctl_r, ctl_p, ctl_y, ctl_t,
                 new_tick, new_last_pos, new_last_att, tumble_counter,
                 new_err,
-            ],
-            axis=0,
-        ).astype(st.dtype)  # keep the carry dtype under ambient x64
+            )
+        )
 
-    # full unroll = +26% on TPU (VLIW scheduling across ticks); interpret
-    # mode keeps the rolled loop (a 20x smaller graph for the CPU tests)
+    if unroll:
+        # full unroll (+26% on TPU: VLIW scheduling across ticks) with the
+        # channel rows carried as a tuple — no per-tick (58, T, 128)
+        # restack between ticks
+        rows = tuple(st[c] for c in range(S_CHANNELS))
+        for i in range(n_ticks):
+            rows = tick_tuple(i, rows)
+        return jnp.stack(rows, axis=0)
+    # interpret mode keeps the rolled fori_loop (a 20x smaller graph for
+    # the CPU tests); the stack/unstack round trip is bit-transparent
     return jax.lax.fori_loop(
-        0, n_ticks, tick_body, st, unroll=n_ticks if unroll else 1
+        0, n_ticks,
+        lambda i, blk: jnp.stack(
+            tick_tuple(i, tuple(blk[c] for c in range(S_CHANNELS))),
+            axis=0,
+        ),
+        st,
     )
 
 

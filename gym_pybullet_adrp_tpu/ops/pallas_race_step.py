@@ -57,26 +57,39 @@ R_CHANNELS = 14
 RST_CHANNELS = 10
 
 # policy-params pack layout (rows x 128, f32) for the in-kernel
-# ActorCritic forward (models/policy.ActorCritic, 64-64 tanh towers):
-# transposed weight blocks first (matmul lhs), then lane-broadcast biases
-PP_W1T = 0          # (64, C)  actor Dense_0 kernel^T
-PP_W2T = 64         # (64, 64) actor Dense_1
-PP_W3T = 128        # (4, 64)  actor mean head Dense_2
-PP_V1T = 132        # (64, C)  critic Dense_3
-PP_V2T = 196        # (64, 64) critic Dense_4
-PP_V3T = 260        # (1, 64)  critic value head Dense_5
-PP_B1 = 261         # (64, 128) broadcast biases...
-PP_B2 = 325
-PP_VB1 = 389
-PP_VB2 = 453
-PP_B3 = 517         # (4, 128)
-PP_VB3 = 521        # (1, 128)
-PP_LOGSTD = 522     # (4, 128)
-PP_ROWS = 526
+# ActorCritic forward (models/policy.ActorCritic tanh towers, any hidden
+# widths — VERDICT r3 item 2 unlocked the pack past 64-64): transposed
+# weight blocks first (matmul lhs; inner dims > 128 split into
+# 128-column chunks stacked along rows), then lane-broadcast biases.
 LOG_2PI = float(np.log(2.0 * np.pi))
 
 
-def _policy_forward(pp, obs, actn, C, T):
+def pp_layout(C, hidden=(64, 64)):
+    """Row offsets of the policy pack for obs size ``C`` and tower widths
+    ``hidden``. Weight entries are (row, out, inn, n_chunks) — chunk j
+    holds inner dims [128j, 128(j+1)) in its first lanes; bias entries
+    are (row, rows). The 64-64 layout reproduces the round-3 constants
+    exactly (PP_W1T=0 ... PP_ROWS=526)."""
+    H1, H2 = hidden
+    off = {}
+    r = 0
+    for name, out, inn in (
+        ("w1", H1, C), ("w2", H2, H1), ("w3", 4, H2),
+        ("v1", H1, C), ("v2", H2, H1), ("v3", 1, H2),
+    ):
+        nch = -(-inn // 128)
+        off[name] = (r, out, inn, nch)
+        r += out * nch
+    for name, rows in (
+        ("b1", H1), ("b2", H2), ("vb1", H1), ("vb2", H2),
+        ("b3", 4), ("vb3", 1), ("logstd", 4),
+    ):
+        off[name] = (r, rows)
+        r += rows
+    return off, r
+
+
+def _policy_forward(pp, obs, actn, C, T, hidden=(64, 64)):
     """In-kernel ActorCritic forward + Gaussian sample, per (C,128) lane
     slice (the obs block is (C, T, 128); each t-slice is one MXU matmul
     chain). Returns (action (4,T,128) UNCLIPPED, logp (T,128),
@@ -84,38 +97,38 @@ def _policy_forward(pp, obs, actn, C, T):
     numerics.
     """
     f32 = jnp.float32
-    w1t = pp[PP_W1T:PP_W1T + 64, :C]
-    w2t = pp[PP_W2T:PP_W2T + 64, :64]
-    w3t = pp[PP_W3T:PP_W3T + 4, :64]
-    v1t = pp[PP_V1T:PP_V1T + 64, :C]
-    v2t = pp[PP_V2T:PP_V2T + 64, :64]
-    v3t = pp[PP_V3T:PP_V3T + 1, :64]
-    b1 = pp[PP_B1:PP_B1 + 64]
-    b2 = pp[PP_B2:PP_B2 + 64]
-    vb1 = pp[PP_VB1:PP_VB1 + 64]
-    vb2 = pp[PP_VB2:PP_VB2 + 64]
-    b3 = pp[PP_B3:PP_B3 + 4]
-    vb3 = pp[PP_VB3:PP_VB3 + 1]
-    log_std = pp[PP_LOGSTD:PP_LOGSTD + 4]
+    off, _ = pp_layout(C, hidden)
+
+    def matmul(name, x):
+        r, out, inn, nch = off[name]
+        acc = None
+        for j in range(nch):
+            w = min(128, inn - 128 * j)
+            w_j = pp[r + j * out:r + (j + 1) * out, :w]
+            x_j = x[128 * j:128 * j + w]
+            d = jax.lax.dot(w_j, x_j, preferred_element_type=f32)
+            acc = d if acc is None else acc + d
+        return acc
+
+    def bias(name):
+        r, rows = off[name]
+        return pp[r:r + rows]
+
+    b1, b2 = bias("b1"), bias("b2")
+    vb1, vb2 = bias("vb1"), bias("vb2")
+    b3, vb3 = bias("b3"), bias("vb3")
+    log_std = bias("logstd")
     std = jnp.exp(log_std)
 
     acts, logps, vals = [], [], []
     for t in range(T):
         x = obs[:, t, :]                                   # (C, 128)
-        h = jnp.tanh(
-            jax.lax.dot(w1t, x, preferred_element_type=f32) + b1
-        )
-        h = jnp.tanh(
-            jax.lax.dot(w2t, h, preferred_element_type=f32) + b2
-        )
-        mean = jax.lax.dot(w3t, h, preferred_element_type=f32) + b3
-        hv = jnp.tanh(
-            jax.lax.dot(v1t, x, preferred_element_type=f32) + vb1
-        )
-        hv = jnp.tanh(
-            jax.lax.dot(v2t, hv, preferred_element_type=f32) + vb2
-        )
-        val = jax.lax.dot(v3t, hv, preferred_element_type=f32) + vb3
+        h = jnp.tanh(matmul("w1", x) + b1)
+        h = jnp.tanh(matmul("w2", h) + b2)
+        mean = matmul("w3", h) + b3
+        hv = jnp.tanh(matmul("v1", x) + vb1)
+        hv = jnp.tanh(matmul("v2", hv) + vb2)
+        val = matmul("v3", hv) + vb3
         n = actn[:, t, :]                                  # (4, 128)
         action = mean + std * n
         # logp of the sampled action under N(mean, std): the normalized
@@ -135,62 +148,31 @@ def _policy_forward(pp, obs, actn, C, T):
     )
 
 
-def _fused_kernel(*refs, cfg):
+def _step_core(cfg, S0, A, Rb, gg, oo, ep_steps0, rst, gates_reset,
+               obst_reset, noise_blk, policy_inputs):
+    """One env step over plain arrays (shared verbatim by the single-step
+    kernel and the K-step rollout kernel — one body, one maintenance
+    point, bitwise-identical semantics on both). With ``policy_inputs``
+    (obs_prev, pp, actn) the ActorCritic forward + Gaussian sample runs
+    first and ``A`` is ignored. Returns a dict of output arrays."""
     (n_ticks, dt, kf, km, arm, ground_z, N, Tb, G, O, gates, obstacles,
      bounds_hi, heights, compete, per_drone_reward, end_after_gate,
      done_on_collision, done_on_completion, episode_len_sec, pyb_freq,
      noise, noise_rows, drone_r, half_h, unroll, telemetry, policy,
-     elim_penalty) = cfg
+     elim_penalty, policy_hidden) = cfg
 
-    idx = 0
-    if noise is not None and not noise_rows:
-        seed_ref = refs[idx]
-        idx += 1
-        pltpu.prng_seed(seed_ref[0])
+    A_raw = LOGP = VAL = None
     if policy:
-        # the action operand is replaced by (prev obs, packed policy
-        # params, standard-normal draws): the ActorCritic forward +
-        # Gaussian sampling runs INSIDE the launch (VERDICT r2 item 3 —
-        # no XLA policy stage between env kernel launches)
-        (s_ref, obs_in_ref, pp_ref, actn_ref, r_ref, gg_ref, oo_ref,
-         ep_ref, rst_ref, rstg_ref, rsto_ref) = refs[idx:idx + 11]
-        idx += 11
-    else:
-        (s_ref, a_ref, r_ref, gg_ref, oo_ref, ep_ref, rst_ref, rstg_ref,
-         rsto_ref) = refs[idx:idx + 9]
-        idx += 9
-    noise_blk = None
-    if noise is not None and noise_rows:
-        noise_blk = refs[idx][:]
-        idx += 1
-    (s_out, r_out, gg_out, oo_out, ep_out, obs_out, rew_out,
-     done_out) = refs[idx:idx + 8]
-    idx += 8
-    info_out = None
-    if telemetry:
-        info_out = refs[idx]
-        idx += 1
-    if policy:
-        act_out, logp_out, val_out = refs[idx:idx + 3]
-
-    S0 = s_ref[:]
-    Rb = r_ref[:]
-    if policy:
-        C_obs = obs_in_ref.shape[0]
-        A_raw, LOGP, VAL = _policy_forward(
-            pp_ref[:], obs_in_ref[:], actn_ref[:], C_obs, N * Tb
-        )
+        obs_in, pp, actn = policy_inputs
+        C_obs = obs_in.shape[0]
+        A_raw, LOGP, VAL = _policy_forward(pp, obs_in, actn, C_obs,
+                                           N * Tb, policy_hidden)
         A_clip = jnp.clip(A_raw, -1.0, 1.0)
         # ACTION_SCALE [1, 1, 1, pi] as scalar math (a jnp constant would
         # be a captured array, which pallas_call rejects)
         A = jnp.concatenate(
             [A_clip[:3], A_clip[3:4] * np.float32(np.pi)], axis=0
         )
-    else:
-        A = a_ref[:]
-    gg = gg_ref[:]
-    oo = oo_ref[:]
-    rst = rst_ref[:]
 
     T = N * Tb
 
@@ -264,7 +246,7 @@ def _fused_kernel(*refs, cfg):
     gsin = [jnp.sin(v) for v in gyaw_a]
     ox_a = [_env_rows(oo[2 * o]) for o in range(O)]
     oy_a = [_env_rows(oo[2 * o + 1]) for o in range(O)]
-    ep_steps = ep_ref[:]
+    ep_steps = ep_steps0
 
     current_gate0 = Rb[0]
     finished = jnp.maximum(
@@ -518,11 +500,9 @@ def _fused_kernel(*refs, cfg):
     )
     S = jnp.where(done_rows[None], S_reset, S)
 
-    gates_reset = rstg_ref[:]
-    obst_reset = rsto_ref[:]
-    gg_out[:] = jnp.where(done[None], gates_reset, gg).astype(S0.dtype)
-    oo_out[:] = jnp.where(done[None], obst_reset, oo).astype(S0.dtype)
-    ep_out[:] = (ep_steps * (1 - d_env)).astype(S0.dtype)
+    gg_new = jnp.where(done[None], gates_reset, gg).astype(S0.dtype)
+    oo_new = jnp.where(done[None], obst_reset, oo).astype(S0.dtype)
+    ep_new = (ep_steps * (1 - d_env)).astype(S0.dtype)
 
     # shaping target after reset: gate 0's *reset* pose (nominal z)
     tgt0x = _env_rows(gates_reset[0])
@@ -581,11 +561,16 @@ def _fused_kernel(*refs, cfg):
         [obs_fixed.get(i, obs_rows[i]) for i in range(C)], axis=0
     )
 
-    s_out[:] = S.astype(S0.dtype)
-    r_out[:] = r_new.astype(S0.dtype)
-    obs_out[:] = obs_rows.astype(S0.dtype)
-    rew_out[:] = reward.astype(S0.dtype)
-    done_out[:] = done.astype(S0.dtype)
+    out = {
+        "S": S.astype(S0.dtype),
+        "R": r_new.astype(S0.dtype),
+        "GG": gg_new,
+        "OO": oo_new,
+        "EP": ep_new,
+        "OBS": obs_rows.astype(S0.dtype),
+        "REW": reward.astype(S0.dtype),
+        "DONE": done.astype(S0.dtype),
+    }
     if telemetry:
         # pre-autoreset race telemetry (VERDICT r2 item 9): the direct
         # gates-passed / eliminated / finished / episode-step values BEFORE
@@ -593,22 +578,306 @@ def _fused_kernel(*refs, cfg):
         # and lap times from state rather than decoding reward edges.
         # Channel 4 is the env-level `terminated` (race logic, pre-OR with
         # truncation) so gymnasium surfaces can split term/trunc.
-        info_out[:] = jnp.stack(
+        out["INFO"] = jnp.stack(
             [current_gate, eliminated, finished, _tile_done(ep_steps),
              _tile_done(terminated.astype(px.dtype))],
             axis=0,
         ).astype(S0.dtype)
     if policy:
-        act_out[:] = A_raw.astype(S0.dtype)
-        logp_out[:] = LOGP.astype(S0.dtype)
-        val_out[:] = VAL.astype(S0.dtype)
+        out["ACT"] = A_raw.astype(S0.dtype)
+        out["LOGP"] = LOGP.astype(S0.dtype)
+        out["VAL"] = VAL.astype(S0.dtype)
+    return out
+
+
+def _fused_kernel(*refs, cfg):
+    (n_ticks, dt, kf, km, arm, ground_z, N, Tb, G, O, gates, obstacles,
+     bounds_hi, heights, compete, per_drone_reward, end_after_gate,
+     done_on_collision, done_on_completion, episode_len_sec, pyb_freq,
+     noise, noise_rows, drone_r, half_h, unroll, telemetry, policy,
+     elim_penalty, policy_hidden) = cfg
+
+    idx = 0
+    if noise is not None and not noise_rows:
+        seed_ref = refs[idx]
+        idx += 1
+        pltpu.prng_seed(seed_ref[0])
+    if policy:
+        # the action operand is replaced by (prev obs, packed policy
+        # params, standard-normal draws): the ActorCritic forward +
+        # Gaussian sampling runs INSIDE the launch (VERDICT r2 item 3 —
+        # no XLA policy stage between env kernel launches)
+        (s_ref, obs_in_ref, pp_ref, actn_ref, r_ref, gg_ref, oo_ref,
+         ep_ref, rst_ref, rstg_ref, rsto_ref) = refs[idx:idx + 11]
+        idx += 11
+        A = None
+        policy_inputs = (obs_in_ref[:], pp_ref[:], actn_ref[:])
+    else:
+        (s_ref, a_ref, r_ref, gg_ref, oo_ref, ep_ref, rst_ref, rstg_ref,
+         rsto_ref) = refs[idx:idx + 9]
+        idx += 9
+        A = a_ref[:]
+        policy_inputs = None
+    noise_blk = None
+    if noise is not None and noise_rows:
+        noise_blk = refs[idx][:]
+        idx += 1
+    (s_out, r_out, gg_out, oo_out, ep_out, obs_out, rew_out,
+     done_out) = refs[idx:idx + 8]
+    idx += 8
+    info_out = None
+    if telemetry:
+        info_out = refs[idx]
+        idx += 1
+    if policy:
+        act_out, logp_out, val_out = refs[idx:idx + 3]
+
+    out = _step_core(
+        cfg, s_ref[:], A, r_ref[:], gg_ref[:], oo_ref[:], ep_ref[:],
+        rst_ref[:], rstg_ref[:], rsto_ref[:], noise_blk, policy_inputs,
+    )
+    s_out[:] = out["S"]
+    r_out[:] = out["R"]
+    gg_out[:] = out["GG"]
+    oo_out[:] = out["OO"]
+    ep_out[:] = out["EP"]
+    obs_out[:] = out["OBS"]
+    rew_out[:] = out["REW"]
+    done_out[:] = out["DONE"]
+    if telemetry:
+        info_out[:] = out["INFO"]
+    if policy:
+        act_out[:] = out["ACT"]
+        logp_out[:] = out["LOGP"]
+        val_out[:] = out["VAL"]
+
+
+def _rollout_kernel(*refs, cfg, emit_obs):
+    """K env steps per launch (grid over steps): the state blocks live in
+    the constant-index OUTPUT refs — VMEM-resident across the whole grid,
+    DMA'd to HBM once at the end — while per-step inputs (actions/noise
+    draws/reset draws) and per-step outputs (reward/done/obs/trajectory)
+    stream through double-buffered (1, ...) blocks. This removes the
+    per-step HBM round trip of the full state (~22% of the single-step
+    launch, VALIDATION §5d) and the per-launch overhead."""
+    (n_ticks, dt, kf, km, arm, ground_z, N, Tb, G, O, gates, obstacles,
+     bounds_hi, heights, compete, per_drone_reward, end_after_gate,
+     done_on_collision, done_on_completion, episode_len_sec, pyb_freq,
+     noise, noise_rows, drone_r, half_h, unroll, telemetry, policy,
+     elim_penalty, policy_hidden) = cfg
+
+    k = pl.program_id(0)
+    idx = 0
+    seeds_ref = None
+    if noise is not None and not noise_rows:
+        seeds_ref = refs[idx]
+        idx += 1
+    s_in, r_in, gg_in, oo_in, ep_in = refs[idx:idx + 5]
+    idx += 5
+    if policy:
+        obs0_ref, pp_ref, actn_ref = refs[idx:idx + 3]
+        idx += 3
+    else:
+        a_ref = refs[idx]
+        idx += 1
+    rst_ref, rstg_ref, rsto_ref = refs[idx:idx + 3]
+    idx += 3
+    nz_ref = None
+    if noise is not None and noise_rows:
+        nz_ref = refs[idx]
+        idx += 1
+    s_out, r_out, gg_out, oo_out, ep_out = refs[idx:idx + 5]
+    idx += 5
+    rew_out, done_out = refs[idx:idx + 2]
+    idx += 2
+    obs_out = None
+    if emit_obs:
+        obs_out = refs[idx]
+        idx += 1
+    info_out = None
+    if telemetry:
+        info_out = refs[idx]
+        idx += 1
+    if policy:
+        act_out, logp_out, val_out = refs[idx:idx + 3]
+        idx += 3
+        obs_scr = refs[idx]          # scratch: the obs carry
+        idx += 1
+
+    # step 0: seed the VMEM-resident carries from the initial state
+    @pl.when(k == 0)
+    def _():
+        s_out[:] = s_in[:]
+        r_out[:] = r_in[:]
+        gg_out[:] = gg_in[:]
+        oo_out[:] = oo_in[:]
+        ep_out[:] = ep_in[:]
+        if policy:
+            obs_scr[:] = obs0_ref[:]
+
+    if seeds_ref is not None:
+        # one reseed per step, bitwise-matching the per-launch seeding of
+        # the single-step kernel under the same key chain
+        pltpu.prng_seed(seeds_ref[k])
+    noise_blk = nz_ref[0] if nz_ref is not None else None
+    policy_inputs = (
+        (obs_scr[:], pp_ref[:], actn_ref[0]) if policy else None
+    )
+    A = None if policy else a_ref[0]
+
+    out = _step_core(
+        cfg, s_out[:], A, r_out[:], gg_out[:], oo_out[:], ep_out[:],
+        rst_ref[0], rstg_ref[0], rsto_ref[0], noise_blk, policy_inputs,
+    )
+    s_out[:] = out["S"]
+    r_out[:] = out["R"]
+    gg_out[:] = out["GG"]
+    oo_out[:] = out["OO"]
+    ep_out[:] = out["EP"]
+    rew_out[0] = out["REW"]
+    done_out[0] = out["DONE"]
+    if emit_obs:
+        obs_out[0] = out["OBS"]
+    if telemetry:
+        info_out[0] = out["INFO"]
+    if policy:
+        obs_scr[:] = out["OBS"]
+        act_out[0] = out["ACT"]
+        logp_out[0] = out["LOGP"]
+        val_out[0] = out["VAL"]
+
+
+def race_rollout(kf, km, arm, ground_z, S, A_seq, R, GG, OO, EP, RST_seq,
+                 RSTG_seq, RSTO_seq, *, n_ticks, dt, spec_tail,
+                 interpret=False, noise=None, seeds=None,
+                 noise_rows_seq=None, telemetry=False, emit_obs=True,
+                 policy_pack=None, obs_rows=None, actn_seq=None,
+                 elim_penalty=1.0, policy_hidden=(64, 64)):
+    """K fused env steps in ONE launch (grid over steps; state stays in
+    VMEM between steps — see ``_rollout_kernel``).
+
+    Sequence operands carry a leading K axis: ``A_seq`` (K, 4, T, 128)
+    pre-scaled action rows (or ``actn_seq`` standard-normal draws with
+    ``policy_pack``/``obs_rows`` for the in-kernel policy), ``RST_seq``
+    (K, RST_CHANNELS, T, 128), ``RSTG_seq`` (K, 3G, Tb, 128), ``RSTO_seq``
+    (K, 2O, Tb, 128) the per-step reset draws (sampled outside with the
+    same key splits as K calls of ``race_step_fused`` — bitwise-identical
+    trajectories), ``seeds`` (K,) int32 per-step PRNG seeds for the
+    disturbance path, ``noise_rows_seq`` (K, n_ticks, 7, T, 128) the
+    interpret-mode additive-noise fallback.
+
+    Returns (S', R', GG', OO', EP', REW (K, T, 128), DONE (K, Tb, 128)
+    [, OBS (K, C, T, 128) if emit_obs][, INFO (K, 5, T, 128) if telemetry]
+    [, ACT (K, 4, T, 128), LOGP (K, T, 128), VAL (K, T, 128) if policy]).
+    """
+    (N, Tb, G, O, gates, obstacles, bounds_hi, heights, compete,
+     per_drone_reward, end_after_gate, done_on_collision,
+     done_on_completion, episode_len_sec, pyb_freq, drone_r, half_h) = \
+        spec_tail
+    if noise is not None:
+        noise = (
+            float(noise[0]),
+            tuple(float(v) for v in noise[1]),
+            tuple(float(v) for v in noise[2]),
+        )
+    policy = policy_pack is not None
+    cfg = (
+        n_ticks, float(dt), float(kf), float(km), float(arm),
+        float(ground_z), N, Tb, G, O,
+        np.asarray(gates, dtype=np.float32),
+        np.asarray(obstacles, dtype=np.float32),
+        tuple(float(v) for v in bounds_hi),
+        tuple(float(v) for v in heights),
+        bool(compete), bool(per_drone_reward), int(end_after_gate),
+        bool(done_on_collision), bool(done_on_completion),
+        float(episode_len_sec), float(pyb_freq),
+        noise, noise_rows_seq is not None, float(drone_r), float(half_h),
+        not interpret, bool(telemetry), policy,
+        float(elim_penalty), tuple(policy_hidden),
+    )
+    T = N * Tb
+    C = 12 + 5 * G + 4 * O + 1 + (6 * (N - 1) if compete and N > 1 else 0)
+    K = RST_seq.shape[0]
+    dtype = S.dtype
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def const(shape):
+        """Whole-array block revisited by every grid step: stays
+        VMEM-resident, one HBM transfer total."""
+        return pl.BlockSpec(shape, lambda k: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def stream(shape):
+        """(1, ...) block per grid step, double-buffered by the Mosaic
+        pipeliner: the step-k slice of a (K, ...) sequence."""
+        return pl.BlockSpec((1,) + shape,
+                            lambda k: (k,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    in_specs, args = [], []
+    if noise is not None and noise_rows_seq is None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(jnp.asarray(seeds, dtype=jnp.int32).reshape(K))
+    state_shapes = [
+        (pallas_race.S_CHANNELS, T, LANE),
+        (R_CHANNELS, T, LANE),
+        (3 * G, Tb, LANE),
+        (2 * O, Tb, LANE),
+        (Tb, LANE),
+    ]
+    for blk, shape in zip((S, R, GG, OO, EP), state_shapes):
+        in_specs.append(const(shape))
+        args.append(blk)
+    if policy:
+        in_specs += [const((C, T, LANE)), const(policy_pack.shape),
+                     stream((4, T, LANE))]
+        args += [obs_rows, policy_pack, actn_seq]
+    else:
+        in_specs.append(stream((4, T, LANE)))
+        args.append(A_seq)
+    in_specs += [stream((RST_CHANNELS, T, LANE)),
+                 stream((3 * G, Tb, LANE)), stream((2 * O, Tb, LANE))]
+    args += [RST_seq, RSTG_seq, RSTO_seq]
+    if noise is not None and noise_rows_seq is not None:
+        in_specs.append(stream(noise_rows_seq.shape[1:]))
+        args.append(noise_rows_seq)
+
+    out_specs = [const(s) for s in state_shapes]
+    out_shape = [jax.ShapeDtypeStruct(s, dtype) for s in state_shapes]
+    out_specs += [stream((T, LANE)), stream((Tb, LANE))]
+    out_shape += [jax.ShapeDtypeStruct((K, T, LANE), dtype),
+                  jax.ShapeDtypeStruct((K, Tb, LANE), dtype)]
+    if emit_obs:
+        out_specs.append(stream((C, T, LANE)))
+        out_shape.append(jax.ShapeDtypeStruct((K, C, T, LANE), dtype))
+    if telemetry:
+        out_specs.append(stream((5, T, LANE)))
+        out_shape.append(jax.ShapeDtypeStruct((K, 5, T, LANE), dtype))
+    scratch = []
+    if policy:
+        out_specs += [stream((4, T, LANE)), stream((T, LANE)),
+                      stream((T, LANE))]
+        out_shape += [jax.ShapeDtypeStruct((K, 4, T, LANE), dtype),
+                      jax.ShapeDtypeStruct((K, T, LANE), dtype),
+                      jax.ShapeDtypeStruct((K, T, LANE), dtype)]
+        scratch.append(pltpu.VMEM((C, T, LANE), dtype))
+
+    return pl.pallas_call(
+        partial(_rollout_kernel, cfg=cfg, emit_obs=emit_obs),
+        grid=(K,),
+        out_shape=tuple(out_shape),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*args)
 
 
 def race_step_fused(kf, km, arm, ground_z, S, A, R, GG, OO, EP, RST, RSTG,
                     RSTO, *, n_ticks, dt, spec_tail, interpret=False,
                     noise=None, seed=None, noise_rows=None, telemetry=False,
                     policy_pack=None, obs_rows=None, actn=None,
-                    elim_penalty=1.0):
+                    elim_penalty=1.0, policy_hidden=(64, 64)):
     """One fused race RL step over the packed state blocks.
 
     ``spec_tail`` is a tuple of the static tail parameters:
@@ -652,7 +921,7 @@ def race_step_fused(kf, km, arm, ground_z, S, A, R, GG, OO, EP, RST, RSTG,
         float(episode_len_sec), float(pyb_freq),
         noise, noise_rows is not None, float(drone_r), float(half_h),
         not interpret, bool(telemetry), policy_pack is not None,
-        float(elim_penalty),
+        float(elim_penalty), tuple(policy_hidden),
     )
     T = N * Tb
     C = 12 + 5 * G + 4 * O + 1 + (6 * (N - 1) if compete and N > 1 else 0)

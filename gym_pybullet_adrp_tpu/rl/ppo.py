@@ -55,13 +55,28 @@ class PPOConfig:
     # epoch — block shuffling keeps minibatches unbiased (consecutive rows
     # are independent envs at one timestep) while moving whole tiles.
     shuffle_block: int = 1
+    # gradient accumulation: average gradients over this many consecutive
+    # minibatches per optimizer update (must divide n_minibatches). The
+    # multi-host lever (VERDICT r3 item 5): under data parallelism the
+    # cross-host pmean fires once per UPDATE, so grad_accum=8 cuts an
+    # iteration's gradient syncs 80 -> 10 at n_epochs=10. Semantics delta
+    # vs SB3 (deliberate, documented): n_minibatches/grad_accum optimizer
+    # steps per epoch with an 8x-larger effective batch each, where each
+    # micro-batch still normalizes its own advantages; grad_accum=1
+    # (default) is exactly the SB3 schedule.
+    grad_accum: int = 1
 
     @property
     def batch_size(self):
         return self.n_envs * self.n_steps
 
     def updates_for_iters(self, n_iters: int) -> int:
-        return n_iters * self.n_epochs * self.n_minibatches
+        """Optimizer updates (tx.update calls) across n_iters iterations —
+        the linear-LR-schedule horizon. Accumulation groups g minibatches
+        into one update."""
+        return n_iters * self.n_epochs * (
+            self.n_minibatches // self.grad_accum
+        )
 
 
 class EnvAdapter(NamedTuple):
@@ -238,23 +253,48 @@ def make_ppo_core(cfg: PPOConfig, adapter: EnvAdapter, dtype=jnp.float32,
             mb_adv = shuffle(advantages)
             mb_ret = shuffle(returns)
 
-            def minibatch_step(carry, xs):
+            g = cfg.grad_accum
+            assert cfg.n_minibatches % g == 0, \
+                "grad_accum must divide n_minibatches"
+
+            def group(x):
+                # (n_minibatches, mb, ...) -> (n_groups, g, mb, ...)
+                return x.reshape(
+                    (cfg.n_minibatches // g, g) + x.shape[1:]
+                )
+
+            gr_traj = jax.tree_util.tree_map(
+                lambda x: None if x is None else group(x), mb_traj
+            )
+            gr_adv, gr_ret = group(mb_adv), group(mb_ret)
+
+            def update_group(carry, xs):
+                """g accumulation micro-steps, ONE optimizer update (and,
+                under a mesh axis, ONE cross-host gradient pmean)."""
                 params, opt_state = carry
-                batch, adv, ret = xs
-                (loss, aux), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(params, batch, adv, ret)
+
+                def accum(acc, micro):
+                    batch, adv, ret = micro
+                    (loss, aux), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True
+                    )(params, batch, adv, ret)
+                    acc = jax.tree_util.tree_map(jnp.add, acc, grads)
+                    return acc, loss
+
+                zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+                acc, losses = jax.lax.scan(accum, zeros, xs)
+                grads = jax.tree_util.tree_map(lambda t: t / g, acc)
                 if axis_name is not None:
                     grads = jax.lax.pmean(grads, axis_name=axis_name)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
-                return (params, opt_state), loss
+                return (params, opt_state), losses
 
             (params, opt_state), losses = jax.lax.scan(
-                minibatch_step, (params, opt_state),
-                (mb_traj, mb_adv, mb_ret),
+                update_group, (params, opt_state),
+                (gr_traj, gr_adv, gr_ret),
             )
-            return (params, opt_state, rng), losses
+            return (params, opt_state, rng), losses.reshape(-1)
 
         return update_epoch
 

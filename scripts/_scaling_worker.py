@@ -3,7 +3,7 @@ jax.distributed cluster (CPU backend, fixed virtual devices per process).
 
 Launched as:
   python scripts/_scaling_worker.py <pid> <nproc> <port> <out.json>
-      <n_local_dev> <envs_per_dev> <n_steps> <iters> [mode]
+      <n_local_dev> <envs_per_dev> <n_steps> <iters> [mode] [grad_accum]
 
 mode "ppo" (default): timed sharded-PPO train steps.
 mode "allreduce": per-sync cost of a gradient-sized (ActorCritic ~26k f32)
@@ -53,6 +53,7 @@ def main():
     from gym_pybullet_adrp_tpu.utils.enums import ActionType, DroneModel
 
     mode = sys.argv[9] if len(sys.argv) > 9 else "ppo"
+    grad_accum = int(sys.argv[10]) if len(sys.argv) > 10 else 1
     mesh = hosts.global_mesh()
 
     if mode == "allreduce":
@@ -96,7 +97,7 @@ def main():
     # fixed total compute across process counts (launcher divides the
     # device count), so step-time inflation isolates the process boundary
     cfg = PPOConfig(n_envs=envs_per_dev, n_steps=n_steps,
-                    n_minibatches=2, n_epochs=2)
+                    n_minibatches=2, n_epochs=2, grad_accum=grad_accum)
     rl_cfg = RLConfig(aviary=AviaryConfig(ctrl_freq=30),
                       act_type=ActionType.RPM)
     params = drone_params(DroneModel.CF2X)
@@ -133,7 +134,9 @@ def main():
                         mesh.devices.size * envs_per_dev * n_steps
                     ),
                     "n_params": n_param,
-                    "grad_syncs_per_iter": cfg.n_epochs * cfg.n_minibatches,
+                    "grad_accum": grad_accum,
+                    "grad_syncs_per_iter": cfg.n_epochs
+                    * (cfg.n_minibatches // cfg.grad_accum),
                 },
                 f,
             )

@@ -44,7 +44,8 @@ def free_port():
     return p
 
 
-def run_cluster(nproc, n_dev, envs_per_dev, n_steps, iters, mode="ppo"):
+def run_cluster(nproc, n_dev, envs_per_dev, n_steps, iters, mode="ppo",
+                grad_accum=1):
     out = Path(tempfile.mkdtemp()) / "out.json"
     port = free_port()
     env = dict(os.environ)
@@ -53,7 +54,8 @@ def run_cluster(nproc, n_dev, envs_per_dev, n_steps, iters, mode="ppo"):
         subprocess.Popen(
             [sys.executable, "scripts/_scaling_worker.py", str(pid),
              str(nproc), str(port), str(out), str(n_dev),
-             str(envs_per_dev), str(n_steps), str(iters), mode],
+             str(envs_per_dev), str(n_steps), str(iters), mode,
+             str(grad_accum)],
             cwd=REPO, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
@@ -67,14 +69,18 @@ def run_cluster(nproc, n_dev, envs_per_dev, n_steps, iters, mode="ppo"):
 
 
 def dcn_model(n_params, syncs_per_iter, compute_ms, n_hosts=4,
-              dcn_gbps=25.0, latency_us=30.0):
-    """Serialized (no-overlap) DCN cost of one PPO iteration's gradient
-    syncs vs its compute time -> lower-bound scaling efficiency."""
+              dcn_gbps=25.0, latency_us=30.0, overlap_ms=0.0):
+    """DCN cost of one PPO iteration's gradient syncs vs its compute
+    time -> scaling efficiency. ``overlap_ms`` is communication hidden
+    under concurrent compute (bucketed all-reduce launched as rear-layer
+    gradients finish while front layers still differentiate); 0 =
+    fully-serialized lower bound."""
     bytes_per_sync = 2 * (n_hosts - 1) / n_hosts * n_params * 4
     t_comm_ms = syncs_per_iter * (
         bytes_per_sync / (dcn_gbps * 1e9) * 1e3 + latency_us / 1e3
     )
-    eff = compute_ms / (compute_ms + t_comm_ms)
+    t_exposed = max(t_comm_ms - overlap_ms, 0.0)
+    eff = compute_ms / (compute_ms + t_exposed)
     return bytes_per_sync, t_comm_ms, eff
 
 

@@ -63,6 +63,10 @@ def main():
                          "INSIDE the fused race kernel (rowfast only): the "
                          "rollout has no XLA policy stage between env "
                          "launches")
+    ap.add_argument("--hidden", default="64,64",
+                    help="ActorCritic tower widths, e.g. 128,128 — the "
+                         "fused policy pack is width-parametric "
+                         "(ops/pallas_race_step.pp_layout)")
     ap.add_argument("--n_drones", type=int, default=1,
                     help="with --rowfast and >1: shared-policy self-play — "
                          "every drone acts and learns from its own shaped "
@@ -140,6 +144,7 @@ def main():
             per_drone_reward=(n_drones > 1),
             interpret=jax.devices()[0].platform == "cpu",
             elim_penalty=args.elim_penalty,
+            policy_hidden=tuple(int(x) for x in args.hidden.split(",")),
         )
 
         def batched_reset(key):
@@ -196,6 +201,11 @@ def main():
         )
 
     network = None
+    hidden = tuple(int(x) for x in args.hidden.split(","))
+    if hidden != (64, 64):
+        from gym_pybullet_adrp_tpu.models.policy import ActorCritic
+
+        network = ActorCritic(act_dim=4, hidden=hidden)
     if args.obs == "rgb":
         from gym_pybullet_adrp_tpu.models.policy import CnnActorCritic
 

@@ -17,7 +17,7 @@ from gym_pybullet_adrp_tpu.utils.config import load_config
 from gym_pybullet_adrp_tpu.utils.enums import Physics, RaceMode
 
 
-def _run_case(cfg_name, n_drones, mode):
+def _run_case(cfg_name, n_drones, mode, hidden=(64, 64)):
     cfg = load_config(cfg_name)
     spec = race_mod.RaceSpec.from_config(cfg, n_drones, mode, Physics.PYB)
     track = race_mod.track_from_config(cfg, n_drones)
@@ -28,8 +28,9 @@ def _run_case(cfg_name, n_drones, mode):
     C = spec.obs_size
     reset, step = race_rl_rowfast.make_row_env(
         spec, track, B, interpret=True, per_drone_reward=(N > 1),
+        policy_hidden=hidden,
     )
-    net = ActorCritic(act_dim=4)
+    net = ActorCritic(act_dim=4, hidden=hidden)
     params = net.init(
         jax.random.PRNGKey(3), jnp.zeros((1, C), jnp.float32)
     )
@@ -106,3 +107,9 @@ def test_policy_fused_matches_reference_single_drone():
 
 def test_policy_fused_matches_reference_selfplay_compete():
     _run_case("twogates", 2, RaceMode.COMPETE)
+
+
+def test_policy_fused_wide_towers():
+    """The pack layout is width-parametric (VERDICT r3 item 2): a
+    256-128 tower exercises the >128-inner-dim chunked matmul path."""
+    _run_case("getting_started", 1, RaceMode.COMPARE, hidden=(256, 128))

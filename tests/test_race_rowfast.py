@@ -131,6 +131,103 @@ def test_fused_matches_unfused():
             )
 
 
+def test_rollout_kernel_matches_step_sequence():
+    """The K-step rollout kernel (grid over steps, state VMEM-resident —
+    ops/pallas_race_step.race_rollout) must reproduce K sequential
+    single-launch fused steps EXACTLY: same key splits drive the reset
+    draws, the step body is the literal shared ``_step_core``, so state,
+    rewards and dones are bitwise-equal. Covers deterministic
+    getting_started (1-drone and 2-drone COMPETE) and randomized level2."""
+    scenarios = [
+        ("getting_started", 1, RaceMode.COMPARE),
+        ("getting_started", 2, RaceMode.COMPETE),
+        ("level2", 1, RaceMode.COMPARE),
+    ]
+    K = 3
+    for cfg_name, n_drones, mode in scenarios:
+        cfg = load_config(cfg_name)
+        spec = race_mod.RaceSpec.from_config(cfg, n_drones, mode,
+                                             Physics.PYB)
+        track = race_mod.track_from_config(cfg, n_drones)
+        B = 128
+        reset, step = race_rl_rowfast.make_row_env(
+            spec, track, B, interpret=True, fused=True
+        )
+        key = jax.random.PRNGKey(11)
+        st_seq = reset(key)
+        st_roll = reset(key)
+        shape = (B, n_drones, 4) if n_drones > 1 else (B, 4)
+        k_act, k_env = jax.random.split(jax.random.PRNGKey(12))
+        actions = jax.random.uniform(
+            k_act, (K,) + shape, minval=-1.0, maxval=1.0
+        )
+        keys = jax.random.split(k_env, K)
+        rews, dones = [], []
+        for i in range(K):
+            st_seq, _, rew, done = step(st_seq, actions[i], keys[i])
+            rews.append(rew)
+            dones.append(done)
+        st_roll, REW, DONE = step.rollout_steps(st_roll, actions, keys)
+        for name in ("S", "R", "GG", "OO", "EP"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(st_roll, name)),
+                np.asarray(getattr(st_seq, name)),
+                err_msg=f"{cfg_name} N={n_drones} state {name}",
+            )
+        # REW is (K, T, 128) drone-major rows; step() returns the
+        # host layout — compare through the same row view
+        for i in range(K):
+            got = np.asarray(DONE[i].reshape(B) > 0.5)
+            np.testing.assert_array_equal(got, np.asarray(dones[i]))
+
+
+def test_rollout_policy_matches_step_policy():
+    """K-step policy-in-kernel rollout == K sequential step_policy calls
+    (state, obs carry, and every trajectory row bitwise)."""
+    from gym_pybullet_adrp_tpu.models.policy import ActorCritic
+
+    cfg = load_config("getting_started")
+    spec = race_mod.RaceSpec.from_config(cfg, 1, RaceMode.COMPARE,
+                                         Physics.PYB)
+    track = race_mod.track_from_config(cfg, 1)
+    B = 128
+    reset, step = race_rl_rowfast.make_row_env(
+        spec, track, B, interpret=True, fused=True
+    )
+    net = ActorCritic(act_dim=4)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, spec.obs_size), dtype=jnp.float32))
+    pp = race_rl_rowfast.pack_policy_params(params)
+    K = 3
+    st = reset(jax.random.PRNGKey(5))
+    obs_rows = reset.initial_obs_rows(st)
+    actn = jax.random.normal(jax.random.PRNGKey(6),
+                             (K, 4, obs_rows.shape[1], 128),
+                             dtype=jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(7), K)
+
+    st_s, obs_s = st, obs_rows
+    seq = []
+    for i in range(K):
+        st_s, obs_s, tr = step.policy_step(st_s, obs_s, pp, actn[i],
+                                           keys[i])
+        seq.append((obs_s, tr))
+    st_r, obs_r, trr = step.rollout_policy(st, obs_rows, pp, actn, keys)
+    np.testing.assert_array_equal(np.asarray(st_r.S), np.asarray(st_s.S))
+    np.testing.assert_array_equal(np.asarray(obs_r), np.asarray(obs_s))
+    for i in range(K):
+        obs_i, tr_i = seq[i]
+        np.testing.assert_array_equal(
+            np.asarray(trr["obs"][i]), np.asarray(obs_i),
+            err_msg=f"obs step {i}",
+        )
+        for f in ("action", "logp", "value", "reward", "done"):
+            np.testing.assert_array_equal(
+                np.asarray(trr[f][i]), np.asarray(tr_i[f]),
+                err_msg=f"{f} step {i}",
+            )
+
+
 def test_rowfast_support_predicate():
     cfg = load_config("level2")
     spec2 = race_mod.RaceSpec.from_config(cfg, 1, RaceMode.COMPARE, Physics.PYB)
