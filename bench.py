@@ -40,6 +40,9 @@ def main():
     )
     ap.add_argument("--drones", type=int, default=2,
                     help="drone count for --impl race")
+    ap.add_argument("--rollout_k", type=int, default=0,
+                    help="with --impl race: env steps per kernel launch "
+                         "(0 = one launch per step)")
     ap.add_argument("--no-extras", action="store_true",
                     help="skip the extra race measurements + roofline keys "
                          "on the default pallas-rollout run")
@@ -82,7 +85,10 @@ def main():
     if args.steps is None:
         args.steps = 3840 if args.impl == "pallas-rollout" else 256
 
-    def build_race_fn(n_drones, n_steps):
+    def build_race_fn(n_drones, n_steps, rollout_k=0):
+        """``rollout_k`` > 0: drive the K-step rollout kernel (state
+        VMEM-resident across steps) instead of one launch per step — the
+        same action/key draws, so the trajectories are identical."""
         from gym_pybullet_adrp_tpu.envs import race as race_mod
         from gym_pybullet_adrp_tpu.envs import race_rl_rowfast
         from gym_pybullet_adrp_tpu.utils.config import load_config
@@ -117,6 +123,26 @@ def main():
             )
             env_keys = jax.random.split(k_env, n_steps)
 
+            if rollout_k:
+                n_chunks = n_steps // rollout_k
+                actions_c = actions.reshape(
+                    (n_chunks, rollout_k) + actions.shape[1:]
+                )
+                keys_c = env_keys.reshape(
+                    (n_chunks, rollout_k) + env_keys.shape[1:]
+                )
+
+                def body(carry, xs):
+                    st, acc = carry
+                    a, ks = xs
+                    st, REW, DONE = step.rollout_steps(st, a, ks)
+                    return (st, acc + jnp.sum(REW)), None
+
+                (st, acc), _ = jax.lax.scan(
+                    body, (state0, jnp.zeros(())), (actions_c, keys_c),
+                )
+                return acc[None]
+
             def body(carry, xs):
                 st, acc = carry
                 a, ks = xs
@@ -131,7 +157,7 @@ def main():
         return partial(fn, state0=state0)
 
     if args.impl == "race":
-        fn = build_race_fn(args.drones, args.steps)
+        fn = build_race_fn(args.drones, args.steps, rollout_k=args.rollout_k)
     elif args.impl == "pallas-rollout":
         from gym_pybullet_adrp_tpu.envs import fast_hover
         from gym_pybullet_adrp_tpu.ops import pallas_step
@@ -242,17 +268,27 @@ def main():
         annotate("hover", steps_per_sec, "hover",
                  rf.hover_rollout_bytes_per_step(args.envs))
         if not args.no_extras:
-            # the flagship race kernels as extra keys on the same line
+            # the flagship race kernels as extra keys on the same line:
+            # the K-step rollout kernel (the headline, state VMEM-resident
+            # across 32 steps/launch) AND the single-step-launch path
+            # (the gymnasium-step-granularity number)
             for n in (1, 2):
-                # full `repeats` dispatch depth: at 8 the per-call
-                # dispatch overhead shaved ~25% off the race numbers
                 sps = measure(
-                    build_race_fn(n, 256), args.envs * 256, args.repeats,
+                    build_race_fn(n, 256, rollout_k=32),
+                    args.envs * 256, args.repeats,
                 )
                 out[f"race{n}_env_steps_per_sec"] = round(sps, 1)
                 annotate(
                     f"race{n}", sps, f"race{n}",
                     rf.race_fused_bytes_per_step(args.envs, n),
+                )
+                # full `repeats` dispatch depth: at 8 the per-call
+                # dispatch overhead shaved ~25% off the race numbers
+                sps_step = measure(
+                    build_race_fn(n, 256), args.envs * 256, args.repeats,
+                )
+                out[f"race{n}_steplaunch_env_steps_per_sec"] = round(
+                    sps_step, 1
                 )
     elif args.impl == "race" and args.drones in (1, 2):
         annotate(

@@ -1196,9 +1196,14 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
 
 
 def make_policy_rollout(spec: RaceSpec, reset, step, n_envs: int,
-                        n_steps: int):
+                        n_steps: int, kernel_chunk: int = 16):
     """Build the policy-in-kernel PPO rollout pieces for a
     ``make_row_env(fused=True)`` pair (VERDICT r2 item 3).
+
+    ``kernel_chunk`` > 0 runs the rollout through the K-step rollout
+    kernel (``step.rollout_policy``: K policy+env steps per launch, state
+    and policy pack VMEM-resident) whenever it divides ``n_steps``;
+    0 keeps one launch per step.
 
     Returns ``(batched_reset, rollout_override, adapter_step)``:
     ``batched_reset(key) -> ((row_state, obs_rows), flat_obs)`` (the env
@@ -1248,6 +1253,26 @@ def make_policy_rollout(spec: RaceSpec, reset, step, n_envs: int,
         obs_rows = reset.initial_obs_rows(st)
         return (st, obs_rows), chrows_to_flat(obs_rows[None], C)[0]
 
+    use_chunks = (
+        kernel_chunk and step.rollout_policy is not None
+        and n_steps % kernel_chunk == 0
+    )
+
+    def _ep_account(carry, x):
+        """Episode-return/length bookkeeping for one step's (rew, done)
+        rows — shared by the per-step and per-chunk paths."""
+        ep_ret, ep_len = carry
+        rew, done = x
+        done_rows = _jnp.tile(done, (N, 1)) > 0.5
+        ep_ret2 = ep_ret + rew
+        ep_len2 = ep_len + 1.0
+        fin_ret = _jnp.where(done_rows, ep_ret2, _jnp.nan)
+        fin_len = _jnp.where(done_rows, ep_len2, -1.0)
+        return (
+            _jnp.where(done_rows, 0.0, ep_ret2),
+            _jnp.where(done_rows, 0.0, ep_len2),
+        ), (fin_ret, fin_len)
+
     def rollout_override(ts):
         rng, k_act, k_env = _jax.random.split(ts.rng, 3)
         actn = _jax.random.normal(
@@ -1259,27 +1284,55 @@ def make_policy_rollout(spec: RaceSpec, reset, step, n_envs: int,
         ep_ret = flat_to_rows(ts.ep_return)
         ep_len = flat_to_rows(ts.ep_len.astype(_jnp.float32))
 
-        def body(carry, xs):
-            st, obs_rows, ep_ret, ep_len = carry
-            a_n, k = xs
-            st2, obs2, tr = policy_step(st, obs_rows, pp, a_n, k)
-            done_rows = _jnp.tile(tr["done"], (N, 1)) > 0.5
-            ep_ret2 = ep_ret + tr["reward"]
-            ep_len2 = ep_len + 1.0
-            fin_ret = _jnp.where(done_rows, ep_ret2, _jnp.nan)
-            fin_len = _jnp.where(done_rows, ep_len2, -1.0)
-            carry = (
-                st2, obs2,
-                _jnp.where(done_rows, 0.0, ep_ret2),
-                _jnp.where(done_rows, 0.0, ep_len2),
+        if use_chunks:
+            K = kernel_chunk
+            n_chunks = n_steps // K
+            actn_c = actn.reshape((n_chunks, K) + actn.shape[1:])
+            keys_c = env_keys.reshape(
+                (n_chunks, K) + env_keys.shape[1:]
             )
-            ys = (obs_rows, tr["action"], tr["logp"], tr["value"],
-                  tr["reward"], tr["done"], fin_ret, fin_len)
-            return carry, ys
 
-        (st, obs_rows, ep_ret, ep_len), ys = _jax.lax.scan(
-            body, (st, obs_rows, ep_ret, ep_len), (actn, env_keys),
-        )
+            def body(carry, xs):
+                st, obs_rows, ep_ret, ep_len = carry
+                a_n, ks = xs
+                st2, obs_last, tr = step.rollout_policy(
+                    st, obs_rows, pp, a_n, ks
+                )
+                # Transition.obs is the PRE-step obs each action saw:
+                # shift the kernel's post-step sequence by the carry
+                obs_seq = _jnp.concatenate(
+                    [obs_rows[None], tr["obs"][:-1]], axis=0
+                )
+                (ep_ret, ep_len), (fin_ret, fin_len) = _jax.lax.scan(
+                    _ep_account, (ep_ret, ep_len),
+                    (tr["reward"], tr["done"]),
+                )
+                ys = (obs_seq, tr["action"], tr["logp"], tr["value"],
+                      tr["reward"], tr["done"], fin_ret, fin_len)
+                return (st2, obs_last, ep_ret, ep_len), ys
+
+            (st, obs_rows, ep_ret, ep_len), ys = _jax.lax.scan(
+                body, (st, obs_rows, ep_ret, ep_len), (actn_c, keys_c),
+            )
+            ys = _jax.tree_util.tree_map(
+                lambda x: x.reshape((n_steps,) + x.shape[2:]), ys
+            )
+        else:
+            def body(carry, xs):
+                st, obs_rows, ep_ret, ep_len = carry
+                a_n, k = xs
+                st2, obs2, tr = policy_step(st, obs_rows, pp, a_n, k)
+                (ep_ret2, ep_len2), (fin_ret, fin_len) = _ep_account(
+                    (ep_ret, ep_len), (tr["reward"], tr["done"])
+                )
+                carry = (st2, obs2, ep_ret2, ep_len2)
+                ys = (obs_rows, tr["action"], tr["logp"], tr["value"],
+                      tr["reward"], tr["done"], fin_ret, fin_len)
+                return carry, ys
+
+            (st, obs_rows, ep_ret, ep_len), ys = _jax.lax.scan(
+                body, (st, obs_rows, ep_ret, ep_len), (actn, env_keys),
+            )
         (obs_seq, act_seq, logp_seq, val_seq, rew_seq, done_seq,
          fin_ret, fin_len) = ys
         done_flat = done_seq.reshape(n_steps, B) > 0.5

@@ -27,7 +27,8 @@ import numpy as np
 
 
 def evaluate(policy_path, config_name="getting_started", n_envs=128,
-             stochastic=False, seed=42, platform=None, n_drones=1):
+             stochastic=False, seed=42, platform=None, n_drones=1,
+             hidden=(64, 64)):
     import jax
     import jax.numpy as jnp
 
@@ -52,7 +53,7 @@ def evaluate(policy_path, config_name="getting_started", n_envs=128,
         spec, track, B, interpret=interpret, per_drone_reward=True,
         telemetry=True,
     )
-    net = ActorCritic(act_dim=4)
+    net = ActorCritic(act_dim=4, hidden=tuple(hidden))
     tmpl = net.init(jax.random.PRNGKey(0), jnp.zeros((1, spec.obs_size)))
     params = ckpt.load_policy(policy_path, tmpl)
     G = spec.num_gates
@@ -144,9 +145,12 @@ def main():
     ap.add_argument("--stochastic", action="store_true")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--hidden", default="64,64",
+                    help="ActorCritic tower widths of the artifact")
     args = ap.parse_args()
     out = evaluate(args.policy, args.config, args.envs, args.stochastic,
-                   args.seed, args.platform, args.n_drones)
+                   args.seed, args.platform, args.n_drones,
+                   hidden=tuple(int(x) for x in args.hidden.split(",")))
     for k, v in out.items():
         print(f"{k}: {v}")
 

@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--n_steps", type=int, default=64)
     ap.add_argument("--config", default="getting_started")
     ap.add_argument("--shuffle_block", type=int, default=512)
+    ap.add_argument("--kernel_chunk", type=int, default=16,
+                    help="with --fuse_policy: env steps per rollout-kernel "
+                         "launch (0 = one launch per step)")
     ap.add_argument("--fuse_policy", action="store_true",
                     help="profile the policy-in-kernel rollout "
                          "(race_rl_rowfast.make_policy_rollout)")
@@ -94,7 +97,8 @@ def main():
     if args.fuse_policy:
         b_reset, rollout_override, fused_step = \
             race_rl_rowfast.make_policy_rollout(
-                spec, reset, step, B, args.n_steps
+                spec, reset, step, B, args.n_steps,
+                kernel_chunk=args.kernel_chunk,
             )
         adapter = adapter._replace(batched_reset=b_reset, step=fused_step)
     init_fn, train_step, _ = make_ppo_core(

@@ -114,6 +114,20 @@ def main():
         print(f"  {r['nproc']} proc: {eff*100:5.1f}% "
               f"({r['sec_per_iter']*1e3:.1f} ms vs {t1*1e3:.1f} ms)")
 
+    # gradient accumulation (rl/ppo.py grad_accum): one pmean per
+    # minibatch GROUP instead of per minibatch — the sync-count lever.
+    # Rerun the 4-process cluster with every epoch's minibatches
+    # accumulated into one update (here 2 -> 1 sync/epoch).
+    accum_rows = []
+    for nproc in (1, 4):
+        r = run_cluster(nproc, max(args.total_dev // nproc, 1),
+                        args.envs_per_dev, args.n_steps, args.iters,
+                        grad_accum=2)
+        accum_rows.append(r)
+        print(f"  grad_accum=2, {nproc} proc: "
+              f"{r['sec_per_iter']*1e3:.1f} ms/iter "
+              f"({r['grad_syncs_per_iter']} syncs/iter)", flush=True)
+
     # gradient-sized all-reduce microbenchmark: the per-sync cost over a
     # REAL process boundary with no competing compute (the core-starved
     # container makes the PPO rows above contention-dominated; this is
@@ -129,33 +143,50 @@ def main():
 
     n_params = rows[0]["n_params"]
     syncs = rows[0]["grad_syncs_per_iter"]
-    # production shape: race PPO at 4096 envs measures 11.9 ms/iteration
-    # on the chip with 80 gradient syncs (10 epochs x 8 minibatches)
-    measured_sync_ms = sync_rows[-1]["sec_per_sync"] * 1e3
+    # production shape: race PPO at 4096 envs measures ~12-13 ms/iteration
+    # on the chip; 80 gradient syncs at SB3's 10 epochs x 8 minibatches,
+    # 10 with grad_accum=8 (one sync per epoch's accumulated update).
+    # Robustness axes (VERDICT r3 item 5): a 2x-degraded DCN row
+    # (12.5 GB/s, 60 us/collective) and an overlap-aware row (bucketed
+    # all-reduce hidden under the epoch's remaining backward compute —
+    # conservatively half the update-phase time, ~2.5 ms).
     model = {}
     for name, compute_ms, syncs_prod in (
-        ("race_ppo_4096envs", 11.9, 80),
-        ("hover_ppo_4096envs", 8.0, 80),
+        ("race_ppo_4096envs_sb3_80sync", 11.9, 80),
+        ("race_ppo_4096envs_accum8_10sync", 11.9, 10),
+        ("hover_ppo_4096envs_accum8_10sync", 8.0, 10),
     ):
         b, t_comm, eff = dcn_model(n_params, syncs_prod, compute_ms)
+        _, t2, eff_deg = dcn_model(n_params, syncs_prod, compute_ms,
+                                   dcn_gbps=12.5, latency_us=60.0)
+        _, _, eff_ov = dcn_model(n_params, syncs_prod, compute_ms,
+                                 dcn_gbps=12.5, latency_us=60.0,
+                                 overlap_ms=2.5)
         model[name] = {
             "bytes_per_sync_per_host": b,
             "dcn_ms_per_iter_serialized": t_comm,
             "efficiency_4_hosts_dcn_model": eff,
+            "efficiency_4_hosts_dcn_2x_degraded": eff_deg,
+            "efficiency_4_hosts_degraded_with_overlap": eff_ov,
         }
         print(f"\n{name}: {b/1024:.0f} KiB/sync/host, {syncs_prod} syncs")
         print(f"  DCN model (25 GB/s, 30 us/collective, serialized): "
               f"{t_comm:.2f} ms vs {compute_ms} ms compute -> "
               f"{eff*100:.1f}% @ 4 hosts")
+        print(f"  2x-degraded DCN (12.5 GB/s, 60 us): {t2:.2f} ms -> "
+              f"{eff_deg*100:.1f}%; with 2.5 ms overlap: "
+              f"{eff_ov*100:.1f}%")
     print(
         "\nNOTE: the localhost per-sync measurement above exercises "
         "gloo-over-loopback on a core-starved container — a software "
         "stack ~2 orders slower than TPU DCN/ICI collectives; it proves "
-        "the multi-process program + collective layout, while the byte "
-        "model carries the hardware projection."
+        "the multi-process program + collective layout (incl. the "
+        "accumulated one-sync-per-epoch variant), while the byte model "
+        "carries the hardware projection."
     )
 
-    out = {"measured_ppo": rows, "measured_allreduce": sync_rows,
+    out = {"measured_ppo": rows, "measured_ppo_grad_accum": accum_rows,
+           "measured_allreduce": sync_rows,
            "dcn_model": model,
            "n_params": n_params, "syncs_per_iter_measured": syncs}
     Path(args.out).write_text(json.dumps(out, indent=1))

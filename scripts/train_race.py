@@ -58,6 +58,18 @@ def main():
     ap.add_argument("--elim_penalty", type=float, default=1.0,
                     help="per-drone sparse penalty at elimination "
                          "(rowfast self-play shaping; 1.0 = reference)")
+    ap.add_argument("--prox_radius", type=float, default=0.3,
+                    help="opponent-proximity shaping radius (m)")
+    ap.add_argument("--prox_penalty", type=float, default=0.0,
+                    help="opponent-proximity shaping weight (rowfast "
+                         "multi-drone): reward -= w * max(0, 1 - d/radius) "
+                         "with d the nearest-opponent horizontal distance "
+                         "read from the opponent-pose obs channels — "
+                         "pushes racing lines apart at gate convergence "
+                         "(level3's dominant failure mode)")
+    ap.add_argument("--kernel_chunk", type=int, default=16,
+                    help="with --fuse_policy: env steps per rollout-kernel "
+                         "launch (0 = one launch per step)")
     ap.add_argument("--fuse_policy", action="store_true",
                     help="run the ActorCritic forward + Gaussian sampling "
                          "INSIDE the fused race kernel (rowfast only): the "
@@ -100,6 +112,12 @@ def main():
     racemode = RaceMode.COMPETE if args.compete else RaceMode.COMPARE
     if n_drones > 1 and not args.rowfast:
         ap.error("--n_drones > 1 requires --rowfast (self-play path)")
+    if args.prox_penalty and not (n_drones > 1 and args.compete):
+        ap.error("--prox_penalty needs COMPETE self-play (--compete "
+                 "--n_drones > 1): it reads the opponent-pose channels")
+    if args.prox_penalty and args.fuse_policy:
+        ap.error("--prox_penalty shapes rewards in the adapter step; "
+                 "use it without --fuse_policy")
     if args.obs == "rgb" and (args.rowfast or args.fast):
         ap.error("--obs rgb runs on the general path (no --rowfast/--fast)")
     spec = race_mod.RaceSpec.from_config(
@@ -154,6 +172,25 @@ def main():
             obs = row_reset.initial_obs(st)
             return st, obs.reshape(cfg.n_envs, spec.obs_size)
 
+        def prox_shape(obs, reward):
+            """reward -= w * max(0, 1 - d_min/0.3): opponent-proximity
+            shaping from the COMPETE obs channels (obs (B, N, C); the
+            opponent poses live at base + 6j). Separates racing lines
+            where the characterized level3 failure is drone-drone
+            contact at gate convergence (VALIDATION §4c)."""
+            base = spec.obs_size - 6 * (n_drones - 1)
+            px, py = obs[..., 0], obs[..., 1]
+            d2min = None
+            for j in range(n_drones - 1):
+                ox = obs[..., base + 6 * j]
+                oy = obs[..., base + 6 * j + 1]
+                d2 = (px - ox) ** 2 + (py - oy) ** 2
+                d2min = d2 if d2min is None else jnp.minimum(d2min, d2)
+            pen = args.prox_penalty * jnp.clip(
+                1.0 - jnp.sqrt(d2min) / args.prox_radius, 0.0, 1.0
+            )
+            return reward - pen
+
         if n_drones == 1:
             step_fn = lambda s, a, k: row_step(s, a, k)
         else:
@@ -161,6 +198,8 @@ def main():
                 # PPO batch = every drone of every env (shared policy)
                 act = action.reshape(B, n_drones, 4)
                 env_state, obs, reward, done = row_step(env_state, act, key)
+                if args.prox_penalty:
+                    reward = prox_shape(obs, reward)
                 return (
                     env_state,
                     obs.reshape(B * n_drones, spec.obs_size),
@@ -178,7 +217,8 @@ def main():
         if args.fuse_policy:
             (b_reset, rollout_override, fused_step) = \
                 race_rl_rowfast.make_policy_rollout(
-                    spec, row_reset, row_step, B, args.n_steps
+                    spec, row_reset, row_step, B, args.n_steps,
+                    kernel_chunk=args.kernel_chunk,
                 )
             adapter = adapter._replace(
                 batched_reset=b_reset, step=fused_step

@@ -10,8 +10,9 @@
     drone-drone collisions/elimination, randomized tracks and in-kernel
     disturbances all demonstrably active in one evaluation.
 
-Gate passes are read from reward edges (+5 pass / >=+12.5 finish step) —
-the only pre-autoreset signal; see scripts/eval_race.py.
+Gate passes and completion are read DIRECTLY from the fused kernel's
+pre-autoreset telemetry block (scripts/eval_race.py; round-3 change —
+reward-edge decoding is gone).
 """
 
 from pathlib import Path

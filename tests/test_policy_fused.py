@@ -113,3 +113,56 @@ def test_policy_fused_wide_towers():
     """The pack layout is width-parametric (VERDICT r3 item 2): a
     256-128 tower exercises the >128-inner-dim chunked matmul path."""
     _run_case("getting_started", 1, RaceMode.COMPARE, hidden=(256, 128))
+
+
+def test_policy_rollout_override_chunked_matches_per_step():
+    """make_policy_rollout with the K-step rollout kernel (kernel_chunk=2)
+    must produce the same trajectory, metrics and train-state as the
+    one-launch-per-step path (kernel_chunk=0) — bitwise."""
+    from gym_pybullet_adrp_tpu.rl.ppo import PPOConfig, make_ppo_core
+    from gym_pybullet_adrp_tpu.rl.ppo import EnvAdapter
+
+    cfg_y = load_config("getting_started")
+    spec = race_mod.RaceSpec.from_config(
+        cfg_y, 1, RaceMode.COMPARE, Physics.PYB
+    )
+    track = race_mod.track_from_config(cfg_y, 1)
+    B, n_steps = 128, 4
+    reset, step = race_rl_rowfast.make_row_env(
+        spec, track, B, interpret=True
+    )
+    outs = {}
+    for chunk in (0, 2):
+        b_reset, rollout_override, fused_step = \
+            race_rl_rowfast.make_policy_rollout(
+                spec, reset, step, B, n_steps, kernel_chunk=chunk
+            )
+        adapter = EnvAdapter(
+            batched_reset=b_reset, step=fused_step,
+            obs_dim=spec.obs_size, act_dim=4,
+        )
+        cfg = PPOConfig(n_envs=B, n_steps=n_steps, n_minibatches=2,
+                        n_epochs=1)
+        init_fn, _, _ = make_ppo_core(
+            cfg, adapter, rollout_override=rollout_override
+        )
+        ts = init_fn(jax.random.PRNGKey(0))
+        ts2, traj, metrics = rollout_override(ts)
+        outs[chunk] = (ts2, traj, metrics)
+    ts_a, traj_a, m_a = outs[0]
+    ts_b, traj_b, m_b = outs[2]
+    for f in ("obs", "action", "logp", "value", "reward", "done"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(traj_a, f)), np.asarray(getattr(traj_b, f)),
+            err_msg=f,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(ts_a.last_obs), np.asarray(ts_b.last_obs)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ts_a.ep_return), np.asarray(ts_b.ep_return)
+    )
+    for k in m_a:
+        np.testing.assert_array_equal(
+            np.asarray(m_a[k]), np.asarray(m_b[k]), err_msg=k
+        )
