@@ -156,3 +156,39 @@ def test_hosts_single_process_noop():
     assert mesh.devices.size == len(jax.devices())
     start, count = hosts.local_env_slice(64)
     assert (start, count) == (0, 64)
+
+
+def test_replay_viewer_builds_selfcontained_html(tmp_path):
+    """scripts/replay_viewer.build_html: the interactive wall-clock replay
+    artifact (the live-visualization counterpart of the reference's GUI
+    race timer/debug view) embeds a valid data payload and player."""
+    import json
+    import re
+    import sys
+    from pathlib import Path
+
+    import numpy as np
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import replay_viewer
+
+    T, N = 12, 2
+    poses = np.cumsum(np.full((T, N, 6), 0.05), axis=0)
+    events = [(0.2, 0, "gate", "G1"), (0.3, 1, "elim", "ELIMINATED"),
+              (0.4, 0, "finish", "FINISH")]
+    track = {"gates": np.zeros((4, 7)), "obstacles": np.zeros((4, 6))}
+    html = replay_viewer.build_html(
+        poses, None, events, track, 30.0, "unit test"
+    )
+    m = re.search(r"const D = (\{.*?\});\nconst COLORS = (\[.*?\]);",
+                  html, re.S)
+    d = json.loads(m.group(1))
+    colors = json.loads(m.group(2))
+    assert len(d["poses"]) == T and len(d["poses"][0]) == N
+    assert len(colors) == N and all(c.startswith("#") for c in colors)
+    # status derived from events: drone 1 eliminated from ~t=0.3 on
+    assert d["status"][-1][1] == 2 and d["status"][-1][0] == 1
+    assert "requestAnimationFrame" in html and "<canvas" in html
+    out = tmp_path / "replay.html"
+    out.write_text(html)
+    assert out.stat().st_size > 8000
