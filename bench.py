@@ -280,7 +280,7 @@ def main():
                 out[f"race{n}_env_steps_per_sec"] = round(sps, 1)
                 annotate(
                     f"race{n}", sps, f"race{n}",
-                    rf.race_fused_bytes_per_step(args.envs, n),
+                    rf.race_rollout_bytes_per_step(args.envs, n),
                 )
                 # full `repeats` dispatch depth: at 8 the per-call
                 # dispatch overhead shaved ~25% off the race numbers
@@ -293,7 +293,10 @@ def main():
     elif args.impl == "race" and args.drones in (1, 2):
         annotate(
             f"race{args.drones}", steps_per_sec, f"race{args.drones}",
-            rf.race_fused_bytes_per_step(args.envs, args.drones),
+            rf.race_rollout_bytes_per_step(
+                args.envs, args.drones, k_steps=args.rollout_k
+            ) if args.rollout_k
+            else rf.race_fused_bytes_per_step(args.envs, args.drones),
         )
 
     print(json.dumps(out))

@@ -1072,10 +1072,22 @@ def make_row_env(spec: RaceSpec, track: RaceTrack, n_envs: int,
             tr["info"] = out[8]
         return new_state, OBS, tr
 
+    # fully-deterministic configs draw identical reset rows every step
+    # (key-independent): collapse the rollout kernel's per-step reset
+    # sequences to ONE resident block instead of K streamed ones
+    _static_draws = not (
+        spec.random_drone_state or spec.random_gates_obstacles
+        or spec.random_drone_inertia or spec.disturbances
+    )
+
     def _stacked_draws(keys):
         """Per-step stochastic inputs for K steps, stacked along a leading
         K axis — jax.vmap of ``_step_draws`` over the per-step keys, so
-        every draw is bitwise-identical to K sequential step calls."""
+        every draw is bitwise-identical to K sequential step calls. For
+        deterministic configs the draws are key-independent, so a single
+        leading-1 block is returned (the kernel pins it VMEM-resident)."""
+        if _static_draws:
+            keys = keys[:1]
         if spec.disturbances:
             noise_t = (spec.action_noise_std, spec.dyn_dist_low,
                        spec.dyn_dist_high)

@@ -797,7 +797,7 @@ def race_rollout(kf, km, arm, ground_z, S, A_seq, R, GG, OO, EP, RST_seq,
     )
     T = N * Tb
     C = 12 + 5 * G + 4 * O + 1 + (6 * (N - 1) if compete and N > 1 else 0)
-    K = RST_seq.shape[0]
+    K = (actn_seq if policy else A_seq).shape[0]
     dtype = S.dtype
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -813,6 +813,17 @@ def race_rollout(kf, km, arm, ground_z, S, A_seq, R, GG, OO, EP, RST_seq,
         return pl.BlockSpec((1,) + shape,
                             lambda k: (k,) + (0,) * len(shape),
                             memory_space=pltpu.VMEM)
+
+    def seq_spec(arr, shape):
+        """Per-step sequence spec; a length-1 sequence (deterministic
+        configs: the reset draws are key-independent, so every step's
+        rows are identical) pins to block 0 — VMEM-resident, one HBM
+        read total instead of one per step."""
+        if arr.shape[0] == 1:
+            return pl.BlockSpec((1,) + shape,
+                                lambda k: (0,) * (len(shape) + 1),
+                                memory_space=pltpu.VMEM)
+        return stream(shape)
 
     in_specs, args = [], []
     if noise is not None and noise_rows_seq is None:
@@ -835,8 +846,9 @@ def race_rollout(kf, km, arm, ground_z, S, A_seq, R, GG, OO, EP, RST_seq,
     else:
         in_specs.append(stream((4, T, LANE)))
         args.append(A_seq)
-    in_specs += [stream((RST_CHANNELS, T, LANE)),
-                 stream((3 * G, Tb, LANE)), stream((2 * O, Tb, LANE))]
+    in_specs += [seq_spec(RST_seq, (RST_CHANNELS, T, LANE)),
+                 seq_spec(RSTG_seq, (3 * G, Tb, LANE)),
+                 seq_spec(RSTO_seq, (2 * O, Tb, LANE))]
     args += [RST_seq, RSTG_seq, RSTO_seq]
     if noise is not None and noise_rows_seq is not None:
         in_specs.append(stream(noise_rows_seq.shape[1:]))
@@ -862,6 +874,14 @@ def race_rollout(kf, km, arm, ground_z, S, A_seq, R, GG, OO, EP, RST_seq,
                       jax.ShapeDtypeStruct((K, T, LANE), dtype)]
         scratch.append(pltpu.VMEM((C, T, LANE), dtype))
 
+    kwargs = {}
+    if not interpret:
+        # v5e has 128 MiB of physical VMEM; Mosaic's default 16 MiB
+        # scoped limit rejects the larger block sets (2-drone COMPETE
+        # with telemetry at 4096 envs needs ~20 MiB resident)
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
     return pl.pallas_call(
         partial(_rollout_kernel, cfg=cfg, emit_obs=emit_obs),
         grid=(K,),
@@ -870,6 +890,7 @@ def race_rollout(kf, km, arm, ground_z, S, A_seq, R, GG, OO, EP, RST_seq,
         out_specs=tuple(out_specs),
         scratch_shapes=scratch,
         interpret=interpret,
+        **kwargs,
     )(*args)
 
 
@@ -959,10 +980,19 @@ def race_step_fused(kf, km, arm, ground_z, S, A, R, GG, OO, EP, RST, RSTG,
     elif noise is not None:
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
         args = (jnp.asarray(seed, dtype=jnp.int32).reshape(1),) + args
+    kwargs = {}
+    if not interpret:
+        # see race_rollout: lift Mosaic's default 16 MiB scoped-vmem
+        # limit toward the chip's 128 MiB (telemetry + COMPETE obs at
+        # 4096 envs exceeds the default)
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
     return pl.pallas_call(
         partial(_fused_kernel, cfg=cfg),
         out_shape=out_shape,
         in_specs=in_specs,
         out_specs=tuple([vmem] * len(out_shape)),
         interpret=interpret,
+        **kwargs,
     )(*args)
