@@ -106,11 +106,14 @@ def test_full_track_policy_completes_getting_started_on_tpu():
 
 @pytest.mark.slow
 def test_level1_policy_robust_on_cpu():
-    """Cross-platform floor: the level1-trained policy (randomized starts,
-    inertia, and in-kernel disturbances) completes full laps even on the
-    CPU backend's slightly different float realization — the takeoff
-    knife-edge fails some starts off-platform, but a solid fraction of the
-    randomized field finishes all 4 gates (measured ~20%; pinned >= 8%)."""
+    """Cross-platform floor (round 4, VERDICT r3 item 6): the
+    noise-hardened level1 artifact (results/level1_robust.msgpack —
+    level1_policy fine-tuned through an escalating per-tick noise ladder,
+    action std 0.001 -> 0.02 / wind ±0.1 -> ±0.4; VALIDATION §4b)
+    completes full laps on the CPU backend's different float realization
+    at ~40% of the randomized field (pinned >= 25%; the pre-hardening
+    artifact measured ~20%) while keeping 96-100% completion on the
+    training platform."""
     import importlib.util
 
     repo = Path(__file__).resolve().parent.parent
@@ -120,9 +123,9 @@ def test_level1_policy_robust_on_cpu():
     er = importlib.util.module_from_spec(s)
     s.loader.exec_module(er)
     out = er.evaluate(
-        str(repo / "results/level1_policy.msgpack"), "level1", 128
+        str(repo / "results/level1_robust.msgpack"), "level1", 128
     )
-    assert out["completion_rate"] >= 0.08, out
+    assert out["completion_rate"] >= 0.25, out
     assert out["mean_lap_time"] is not None and out["mean_lap_time"] < 6.0, \
         out
     # gate progress well beyond chance across the randomized field
