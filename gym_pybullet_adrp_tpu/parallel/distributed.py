@@ -321,7 +321,8 @@ def rollout_throughput_fn(mesh, rl_cfg, params, init_xyzs, init_rpys,
 
 
 def race_rollout_throughput_fn(mesh, spec, track, n_envs_per_device: int,
-                               n_steps: int, interpret: bool = False):
+                               n_steps: int, interpret: bool = False,
+                               rollout_k: int = 0):
     """Sharded flagship-race rollout: the row-major kernel env
     (envs/race_rl_rowfast.py) stepped independently on every device of the
     mesh, metrics psum'd over ICI.
@@ -330,6 +331,8 @@ def race_rollout_throughput_fn(mesh, spec, track, n_envs_per_device: int,
     leave their device; the only cross-chip traffic is the scalar metric
     reduce. Takes a (n_devices*2,) uint32 key block sharded over ``dp``
     (2 per device); returns the global per-device reward sums.
+    ``rollout_k`` > 0 drives the K-step rollout kernel
+    (ops/pallas_race_step.race_rollout) instead of per-step launches.
     """
     from gym_pybullet_adrp_tpu.envs import race_rl_rowfast
 
@@ -342,11 +345,28 @@ def race_rollout_throughput_fn(mesh, spec, track, n_envs_per_device: int,
         key = key_block.reshape(2)
         st = reset(key)
 
+        shape = (n_envs_per_device, n, 4) if n > 1 \
+            else (n_envs_per_device, 4)
+        if rollout_k:
+            def body(carry, _):
+                s, k = carry
+                k, ka, ks = jax.random.split(k, 3)
+                a = jax.random.uniform(
+                    ka, (rollout_k,) + shape, minval=-1.0, maxval=1.0
+                )
+                s, REW, _ = step.rollout_steps(
+                    s, a, jax.random.split(ks, rollout_k)
+                )
+                return (s, k), jnp.sum(REW)
+
+            (st, _), rews = jax.lax.scan(
+                body, (st, key), None, length=n_steps // rollout_k
+            )
+            return jax.lax.psum(rews.sum(), AXIS)[None]
+
         def body(carry, _):
             s, k = carry
             k, ka, ks = jax.random.split(k, 3)
-            shape = (n_envs_per_device, n, 4) if n > 1 \
-                else (n_envs_per_device, 4)
             a = jax.random.uniform(ka, shape, minval=-1.0, maxval=1.0)
             s, _, reward, _ = step(s, a, ks)
             return (s, k), jnp.sum(reward)

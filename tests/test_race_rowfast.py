@@ -525,12 +525,15 @@ def test_rowfast_sharded_over_mesh():
     spec = race_mod.RaceSpec.from_config(cfg, N, RaceMode.COMPETE, Physics.PYB)
     track = race_mod.track_from_config(cfg, N)
     mesh = make_mesh(8)
-    fn = race_rollout_throughput_fn(
-        mesh, spec, track, n_envs_per_device=128, n_steps=2, interpret=True
-    )
     keys = jax.random.split(jax.random.PRNGKey(0), 8)
-    out = np.asarray(fn(jnp.asarray(keys, dtype=jnp.uint32).reshape(16)))
-    assert out.shape == (8,)
-    # psum -> every device reports the same global sum, and it is finite
-    assert np.all(np.isfinite(out))
-    np.testing.assert_allclose(out, out[0], rtol=1e-6)
+    kb = jnp.asarray(keys, dtype=jnp.uint32).reshape(16)
+    for rollout_k in (0, 2):
+        fn = race_rollout_throughput_fn(
+            mesh, spec, track, n_envs_per_device=128, n_steps=2,
+            interpret=True, rollout_k=rollout_k,
+        )
+        out = np.asarray(fn(kb))
+        assert out.shape == (8,)
+        # psum -> every device reports the same global sum, finite
+        assert np.all(np.isfinite(out))
+        np.testing.assert_allclose(out, out[0], rtol=1e-6)
