@@ -223,21 +223,30 @@ def main():
         )
     key = jax.random.PRNGKey(0)[None]
 
-    def measure(f, env_steps, repeats):
+    spreads = {}
+
+    def measure(f, env_steps, repeats, spread_key=None):
         # sustained throughput: dispatch `repeats` independent calls
         # back-to-back and block once — the device executes them
         # contiguously, so host/tunnel round-trip latency (~20 ms/call
-        # through the remote-TPU tunnel) isn't charged to every call
+        # through the remote-TPU tunnel) isn't charged to every call.
+        # The batch-to-batch spread is recorded so a capture carries its
+        # own variance estimate (sessions drift ±10% on the shared chip).
         jax.block_until_ready(f(key))     # compile + warmup
-        best = float("inf")
+        times = []
         for _ in range(3):
             t0 = time.perf_counter()
             outs = [f(key) for _ in range(repeats)]
             jax.block_until_ready(outs)
-            best = min(best, (time.perf_counter() - t0) / repeats)
-        return env_steps / best
+            times.append((time.perf_counter() - t0) / repeats)
+        if spread_key:
+            spreads[spread_key] = round(
+                100.0 * (max(times) - min(times)) / min(times), 1
+            )
+        return env_steps / min(times)
 
-    steps_per_sec = measure(fn, args.envs * args.steps, args.repeats)
+    steps_per_sec = measure(fn, args.envs * args.steps, args.repeats,
+                            spread_key="headline")
 
     from gym_pybullet_adrp_tpu.utils import roofline as rf
 
@@ -276,6 +285,7 @@ def main():
                 sps = measure(
                     build_race_fn(n, 256, rollout_k=32),
                     args.envs * 256, args.repeats,
+                    spread_key=f"race{n}",
                 )
                 out[f"race{n}_env_steps_per_sec"] = round(sps, 1)
                 annotate(
@@ -299,6 +309,8 @@ def main():
             else rf.race_fused_bytes_per_step(args.envs, args.drones),
         )
 
+    for k, v in spreads.items():
+        out[f"{k}_batch_spread_pct"] = v
     print(json.dumps(out))
 
 
