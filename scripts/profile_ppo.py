@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--n_steps", type=int, default=64)
     ap.add_argument("--config", default="getting_started")
     ap.add_argument("--shuffle_block", type=int, default=512)
+    ap.add_argument("--grad_accum", type=int, default=1,
+                    help="minibatches accumulated per optimizer update "
+                         "(1 = exact SB3 schedule)")
     ap.add_argument("--kernel_chunk", type=int, default=16,
                     help="with --fuse_policy: env steps per rollout-kernel "
                          "launch (0 = one launch per step)")
@@ -92,7 +95,8 @@ def main():
     adapter = EnvAdapter(batched_reset=batched_reset, step=step,
                          obs_dim=spec.obs_size, act_dim=4)
     cfg = PPOConfig(n_envs=B, n_steps=args.n_steps,
-                    shuffle_block=args.shuffle_block)
+                    shuffle_block=args.shuffle_block,
+                    grad_accum=args.grad_accum)
     rollout_override = None
     if args.fuse_policy:
         b_reset, rollout_override, fused_step = \
