@@ -19,7 +19,12 @@ def test_bench_json_line():
              if ln.startswith("{")]
     assert len(lines) == 1, out.stdout
     rec = json.loads(lines[0])
-    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
+    # every extra key is an annotation (roofline %, batch spread)
+    assert all(
+        k.endswith(("_pct", "_env_steps_per_sec"))
+        for k in set(rec) - {"metric", "value", "unit", "vs_baseline"}
+    ), rec
     assert rec["unit"] == "env-steps/s"
     assert rec["value"] > 0
 
