@@ -86,6 +86,12 @@ def main():
     ap.add_argument("--compete", action="store_true",
                     help="COMPETE mode: drone-drone collisions + opponent "
                          "poses in the observation")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="PRNG seed for init + the rollout/shuffle key "
+                         "chain (with --init the params are overwritten, "
+                         "so the seed varies only the training stream — "
+                         "the multi-seed continuation lever of "
+                         "VALIDATION §4c)")
     ap.add_argument("--obs", default="kin", choices=["kin", "rgb"],
                     help="'rgb': camera-based racing — drone-POV frames of "
                          "the actual gates/obstacles ray-cast in-graph, "
@@ -274,7 +280,7 @@ def main():
     init_fn, train_step, eval_fn = make_ppo_core(
         cfg, adapter, network=network, rollout_override=rollout_override
     )
-    ts = init_fn(jax.random.PRNGKey(0))
+    ts = init_fn(jax.random.PRNGKey(args.seed))
     if args.init:
         ts = ts._replace(params=ckpt.load_policy(args.init, ts.params))
         print("warm-started from", args.init, flush=True)
