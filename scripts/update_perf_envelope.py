@@ -1,0 +1,178 @@
+"""Mechanically regenerate the published perf numbers from recorded captures.
+
+VERDICT r4 item 4: the hand-maintained README/VALIDATION throughput ranges
+were outrun by the official end-of-round capture three rounds running
+(±10% session drift on the shared tunneled chip makes per-capture range
+chasing structurally losing). This script makes the published envelope
+drift-proof BY CONSTRUCTION:
+
+* **Inputs**: every recorded official capture (``BENCH_r*.json``, parsed
+  automatically) plus in-round probe captures appended to
+  ``results/bench_captures.jsonl`` (one JSON object per line; keys below).
+* **Observed range**: min-max over all captures of a metric.
+* **Drift envelope**: observed range widened by the documented ±10%
+  session band (x0.88 / x1.12 — the extra 2% absorbs rounding), so any
+  future capture within ±10% of ANYTHING ever recorded lands inside.
+* **Output**: rewrites the spans between ``<!--PERF:key-->`` and
+  ``<!--/PERF:key-->`` markers in README.md / VALIDATION.md.
+
+Run ``python scripts/update_perf_envelope.py`` after recording a capture;
+``--check`` (used by tests/test_bench.py) verifies the committed text
+matches a fresh regeneration, so the published numbers can never go stale
+against the recorded captures again.
+
+Canonical metric keys: ``hover`` (env-steps/s), ``hover_vpu`` (%),
+``race{1,2}_rollout``, ``race{1,2}_steplaunch`` (env-steps/s),
+``race{1,2}_vpu`` (%).
+"""
+
+import argparse
+import glob
+import json
+import math
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CAPTURES = os.path.join(ROOT, "results", "bench_captures.jsonl")
+
+# BENCH_r*.json parsed-key -> canonical metric key. Round-3's race
+# numbers predate the rollout kernel: its race{n}_env_steps_per_sec keys
+# measured the single-step-launch kernel, and its vpu_pct used the buggy
+# cost-model currency (VERDICT r3 item 4) — remapped / dropped below.
+_BENCH_KEYMAP = {
+    "value": "hover",
+    "hover_vpu_pct": "hover_vpu",
+    "race1_env_steps_per_sec": "race1_rollout",
+    "race2_env_steps_per_sec": "race2_rollout",
+    "race1_steplaunch_env_steps_per_sec": "race1_steplaunch",
+    "race2_steplaunch_env_steps_per_sec": "race2_steplaunch",
+    "race1_vpu_pct": "race1_vpu",
+    "race2_vpu_pct": "race2_vpu",
+}
+_R3_KEYMAP = {
+    "value": "hover",
+    "race1_env_steps_per_sec": "race1_steplaunch",
+    "race2_env_steps_per_sec": "race2_steplaunch",
+}
+# rounds whose hover kernel predates the current fused-rollout generation
+_HOVER_SKIP_ROUNDS = {1}
+
+
+def collect_captures():
+    caps = []
+    for path in sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json"))):
+        rnd = int(re.search(r"BENCH_r(\d+)", path).group(1))
+        parsed = json.load(open(path)).get("parsed") or {}
+        keymap = _R3_KEYMAP if rnd == 3 else _BENCH_KEYMAP
+        cap = {"src": os.path.basename(path)}
+        for k, v in parsed.items():
+            ck = keymap.get(k)
+            if ck is None or not isinstance(v, (int, float)):
+                continue
+            if ck == "hover" and rnd in _HOVER_SKIP_ROUNDS:
+                continue
+            cap[ck] = float(v)
+        if len(cap) > 1:
+            caps.append(cap)
+    if os.path.exists(CAPTURES):
+        with open(CAPTURES) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    caps.append(json.loads(line))
+    return caps
+
+
+def ranges(caps):
+    out = {}
+    for cap in caps:
+        for k, v in cap.items():
+            if k == "src" or not isinstance(v, (int, float)):
+                continue
+            lo, hi = out.get(k, (v, v))
+            out[k] = (min(lo, v), max(hi, v))
+    return out
+
+
+def _fmt(v, unit, up):
+    if unit == "B":
+        f = math.ceil if up else math.floor
+        return f"{f(v / 1e9 * 100) / 100:.2f}"
+    if unit == "M":
+        return str(int(math.ceil(v / 1e6) if up else math.floor(v / 1e6)))
+    return str(int(math.ceil(v) if up else math.floor(v)))
+
+
+def span_text(key, rng):
+    """Render one marker span: observed range + drift envelope."""
+    metric, unit, style = _SPANS[key]
+    if isinstance(metric, tuple):  # union over several metrics (vpu pools)
+        lo = min(rng[m][0] for m in metric if m in rng)
+        hi = max(rng[m][1] for m in metric if m in rng)
+    else:
+        lo, hi = rng[metric]
+    olo, ohi = _fmt(lo, unit, False), _fmt(hi, unit, True)
+    elo, ehi = _fmt(lo * 0.88, unit, False), _fmt(hi * 1.12, unit, True)
+    obs = f"{olo}-{ohi}" if olo != ohi else olo
+    if style == "bold":
+        return f"**{obs}{'' if unit == 'pct' else unit}** " \
+               f"(drift envelope {elo}-{ehi}{'' if unit == 'pct' else unit})"
+    if style == "pct":
+        return f"{obs}% (drift envelope {elo}-{ehi}%)"
+    return f"{obs}{unit} (drift envelope {elo}-{ehi}{unit})"
+
+
+# marker key -> (metric key(s), unit, style)
+_SPANS = {
+    "hover": ("hover", "B", "bold"),
+    "race1_rollout": ("race1_rollout", "M", "bold"),
+    "race2_rollout": ("race2_rollout", "M", "bold"),
+    "race1_steplaunch": ("race1_steplaunch", "M", "bold"),
+    "race2_steplaunch": ("race2_steplaunch", "M", "bold"),
+    "race_vpu": (("race1_vpu", "race2_vpu"), "pct", "pct"),
+    "hover_vpu": ("hover_vpu", "pct", "pct"),
+}
+
+_FILES = ["README.md", "VALIDATION.md"]
+
+
+def regenerate(check=False):
+    caps = collect_captures()
+    rng = ranges(caps)
+    changed = []
+    for name in _FILES:
+        path = os.path.join(ROOT, name)
+        text = open(path).read()
+        new = text
+        for key in _SPANS:
+            pat = re.compile(
+                f"(<!--PERF:{key}-->).*?(<!--/PERF:{key}-->)", re.S
+            )
+            try:
+                repl = span_text(key, rng)
+            except KeyError:
+                continue
+            new = pat.sub(lambda m: m.group(1) + repl + m.group(2), new)
+        if new != text:
+            changed.append(name)
+            if not check:
+                open(path, "w").write(new)
+    if check and changed:
+        print(f"STALE: {changed} do not match regeneration from captures")
+        return 1
+    print(f"captures: {len(caps)}  "
+          + "  ".join(f"{k}={v[0]:.3g}..{v[1]:.3g}" for k, v in
+                      sorted(rng.items())))
+    print(("OK (up to date)" if not changed else f"rewrote {changed}")
+          if not check else "OK (check passed)")
+    return 0
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true",
+                    help="exit 1 if committed text is stale")
+    args = ap.parse_args()
+    sys.exit(regenerate(check=args.check))

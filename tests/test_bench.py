@@ -29,6 +29,19 @@ def test_bench_json_line():
     assert rec["value"] > 0
 
 
+def test_perf_envelope_not_stale():
+    """The published README/VALIDATION perf ranges are generated spans
+    (scripts/update_perf_envelope.py, VERDICT r4 item 4) — a fresh
+    regeneration from the recorded captures must be a no-op, so the
+    published envelope can never silently diverge from the evidence."""
+    out = subprocess.run(
+        [sys.executable, str(ROOT / "scripts" / "update_perf_envelope.py"),
+         "--check"],
+        capture_output=True, text=True, timeout=60, cwd=str(ROOT),
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+
+
 def test_bench_race_json_line():
     out = subprocess.run(
         [sys.executable, str(ROOT / "bench.py"), "--platform", "cpu",
