@@ -114,6 +114,51 @@ class TrainState(NamedTuple):
     ep_len: jnp.ndarray
 
 
+def ppo_loss(network, clip_eps, vf_coef, ent_coef, params, batch,
+             advantages, returns):
+    """Clipped-surrogate PPO loss (SB3 semantics: per-micro-batch advantage
+    normalization). Module-level so tests can compute reference gradients
+    with the exact same function the learner differentiates."""
+    mean, log_std, value = network.apply(params, batch.obs)
+    logp = gaussian_logp(batch.action, mean, log_std)
+    ratio = jnp.exp(logp - batch.logp)
+    adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+    pg1 = ratio * adv
+    pg2 = jnp.clip(ratio, 1.0 - clip_eps, 1.0 + clip_eps) * adv
+    pg_loss = -jnp.mean(jnp.minimum(pg1, pg2))
+    v_loss = 0.5 * jnp.mean((value - returns) ** 2)
+    ent = gaussian_entropy(log_std)
+    total = pg_loss + vf_coef * v_loss - ent_coef * ent
+    return total, (pg_loss, v_loss, ent)
+
+
+def grouped_update(loss_fn, tx, axis_name, g, params, opt_state, xs):
+    """g gradient-accumulation micro-steps, ONE optimizer update (and,
+    under a mesh axis, ONE cross-host gradient pmean) — the multi-host
+    sync-thinning lever (PPOConfig.grad_accum). ``xs`` is a
+    (batch, advantages, returns) tuple whose leaves carry a leading
+    ``g`` axis; the applied gradient is the MEAN of the g micro-batch
+    gradients (each micro-batch normalizes its own advantages inside
+    ``loss_fn``). Pinned by tests/test_rl.py::test_grad_accum_*."""
+
+    def accum(acc, micro):
+        batch, adv, ret = micro
+        (loss, aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, batch, adv, ret)
+        acc = jax.tree_util.tree_map(jnp.add, acc, grads)
+        return acc, loss
+
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    acc, losses = jax.lax.scan(accum, zeros, xs)
+    grads = jax.tree_util.tree_map(lambda t: t / g, acc)
+    if axis_name is not None:
+        grads = jax.lax.pmean(grads, axis_name=axis_name)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return (params, opt_state), losses
+
+
 def make_ppo_core(cfg: PPOConfig, adapter: EnvAdapter, dtype=jnp.float32,
                   axis_name=None, network=None, rollout_override=None):
     """Build (init_fn, train_step, eval_rollout) for any EnvAdapter.
@@ -203,18 +248,9 @@ def make_ppo_core(cfg: PPOConfig, adapter: EnvAdapter, dtype=jnp.float32,
         )
         return advantages, advantages + traj.value
 
-    def loss_fn(params, batch, advantages, returns):
-        mean, log_std, value = network.apply(params, batch.obs)
-        logp = gaussian_logp(batch.action, mean, log_std)
-        ratio = jnp.exp(logp - batch.logp)
-        adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
-        pg1 = ratio * adv
-        pg2 = jnp.clip(ratio, 1.0 - cfg.clip_eps, 1.0 + cfg.clip_eps) * adv
-        pg_loss = -jnp.mean(jnp.minimum(pg1, pg2))
-        v_loss = 0.5 * jnp.mean((value - returns) ** 2)
-        ent = gaussian_entropy(log_std)
-        total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
-        return total, (pg_loss, v_loss, ent)
+    loss_fn = partial(
+        ppo_loss, network, cfg.clip_eps, cfg.vf_coef, cfg.ent_coef
+    )
 
     def make_update_epoch(traj, advantages, returns):
         """Epoch body closing over the (invariant) trajectory arrays —
@@ -268,30 +304,11 @@ def make_ppo_core(cfg: PPOConfig, adapter: EnvAdapter, dtype=jnp.float32,
             )
             gr_adv, gr_ret = group(mb_adv), group(mb_ret)
 
-            def update_group(carry, xs):
-                """g accumulation micro-steps, ONE optimizer update (and,
-                under a mesh axis, ONE cross-host gradient pmean)."""
-                params, opt_state = carry
-
-                def accum(acc, micro):
-                    batch, adv, ret = micro
-                    (loss, aux), grads = jax.value_and_grad(
-                        loss_fn, has_aux=True
-                    )(params, batch, adv, ret)
-                    acc = jax.tree_util.tree_map(jnp.add, acc, grads)
-                    return acc, loss
-
-                zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-                acc, losses = jax.lax.scan(accum, zeros, xs)
-                grads = jax.tree_util.tree_map(lambda t: t / g, acc)
-                if axis_name is not None:
-                    grads = jax.lax.pmean(grads, axis_name=axis_name)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), losses
-
             (params, opt_state), losses = jax.lax.scan(
-                update_group, (params, opt_state),
+                lambda carry, xs: grouped_update(
+                    loss_fn, tx, axis_name, g, carry[0], carry[1], xs
+                ),
+                (params, opt_state),
                 (gr_traj, gr_adv, gr_ret),
             )
             return (params, opt_state, rng), losses.reshape(-1)

@@ -94,6 +94,52 @@ def test_fused_backend_matches_general_path():
         )
 
 
+def test_done_step_telemetry_matches_across_backends():
+    """Regression (round-4 advisor finding / VERDICT r4 item 6): on a DONE
+    step the general backend's infos must show PRE-autoreset telemetry,
+    identical to the fused backend's — the general path once tapped the
+    telemetry after the on-done reset wiped it (envs/race_rl.py:233-240).
+    A truncation-length episode (episode_len_sec shrunk to 4 ctrl steps)
+    drives every env to an actual done step cheaply."""
+    from gym_pybullet_adrp_tpu.utils.config import load_config
+
+    B = 128
+    cfg = load_config("getting_started")
+    cfg.episode_len_sec = 4.0 / cfg.ctrl_freq            # truncate @ step 4
+    vf = JaxRaceVectorEnv(B, config=cfg, backend="fused")
+    vg = JaxRaceVectorEnv(B, config=cfg, backend="general")
+    vf.reset(seed=3)
+    vg.reset(seed=3)
+    rng = np.random.default_rng(1)
+    saw_done = False
+    for i in range(4):
+        a = rng.uniform(-1, 1, (B, 4)).astype(np.float32)
+        of, rf, tef, trf, inf_f = vf.step(a)
+        og, rg, teg, trg, inf_g = vg.step(a)
+        done_f = tef | trf
+        np.testing.assert_array_equal(done_f, teg | trg)
+        for k in ("current_gate", "eliminated", "finished", "ep_steps"):
+            np.testing.assert_array_equal(
+                np.asarray(inf_f[k]), np.asarray(inf_g[k]),
+                err_msg=f"step {i} info[{k!r}]",
+            )
+        if done_f.any():
+            saw_done = True
+            # pre-reset semantics: the done step reports the episode's own
+            # counter (i+1 ctrl steps), not the fresh episode's zero
+            ep = np.asarray(inf_g["ep_steps"])[done_f]
+            np.testing.assert_array_equal(ep, i + 1)
+    assert saw_done, "episode never truncated — test drove no done step"
+    # the step AFTER the autoreset counts from the fresh episode (for the
+    # envs that were done on the last loop step; a rare early-eliminated
+    # env resets mid-loop and reads higher)
+    a = rng.uniform(-1, 1, (B, 4)).astype(np.float32)
+    *_, inf_g = vg.step(a)
+    *_, inf_f = vf.step(a)
+    np.testing.assert_array_equal(np.asarray(inf_g["ep_steps"])[done_f], 1)
+    np.testing.assert_array_equal(np.asarray(inf_f["ep_steps"])[done_f], 1)
+
+
 def test_multi_drone_compete_and_guards():
     B = 128
     venv = JaxRaceVectorEnv(B, config="twogates", num_drones=2)
