@@ -268,9 +268,11 @@ def main():
     # construction; regenerated by scripts/roofline.py)
     def annotate(prefix, sps, slots_key, bytes_per_step):
         pct = rf.roofline_pct(
-            sps, rf.VPU_SLOTS_PER_ENV_STEP[slots_key], bytes_per_step
+            sps, rf.VPU_SLOTS_PER_ENV_STEP[slots_key], bytes_per_step,
+            rf.VPU_SLOTS_CAL_PER_ENV_STEP[slots_key],
         )
         out[f"{prefix}_vpu_pct"] = pct["vpu_pct"]
+        out[f"{prefix}_vpu_cal_pct"] = pct["vpu_cal_pct"]
         out[f"{prefix}_hbm_pct"] = pct["hbm_pct"]
 
     if args.impl == "pallas-rollout":

@@ -42,8 +42,10 @@ F32 = 4
 # x2 "FMA peak" means), layout ops (reshape/broadcast/concat/slice) count
 # ZERO (they cost time but no ALU issue — honest utilizations must not
 # credit them), and div/sqrt/transcendentals are floored at 1.0 slot each
-# (TRANSCENDENTAL_SLOTS below — a deliberate lower bound; see that table's
-# comment for why on-chip calibration of the true ratios was abandoned).
+# (TRANSCENDENTAL_SLOTS below — a deliberate lower bound). A SECOND tier,
+# ``vpu_cal_pct``, re-censuses with the on-chip-MEASURED per-op costs
+# (CALIBRATED_SLOTS, scripts/vpu_calibrate.py) for the best point
+# estimate of true utilization (±15% calibration band).
 #
 # Ceiling: the v5e issue rate (8x128 lanes x 4 ALUs @ ~0.94 GHz =
 # 3.9e12 issues/s; an FMA is ONE issue, which is what the "x2 FMA peak"
@@ -58,12 +60,13 @@ F32 = 4
 # percentage.
 
 # slots per element for div/sqrt/transcendentals. All 1.0 = the minimum
-# one issue each — a deliberate LOWER bound: v5e services these on its
-# special-function path at >= 1 issue of cost, and micro-calibrating the
-# true ratios through the tunneled chip proved unreliable (the ~40-55 ms
-# RTT jitter and async dispatch floor swamp sub-us marginal costs —
-# VALIDATION §5d). Under-weighting them can only UNDERSTATE vpu_pct,
-# never push it past 100.
+# one issue each — a deliberate LOWER bound: under-weighting them can
+# only UNDERSTATE vpu_pct, never push it past 100, which is what keeps
+# the printed ``vpu_pct`` a guaranteed utilization lower bound. The TRUE
+# per-op costs were measured on-chip in round 5 (CALIBRATED_SLOTS below)
+# and are dramatically higher for sin/cos — which is exactly why the
+# round-4 hover kernel read "42%" here while actually running at the
+# issue ceiling (VALIDATION §5d, the round-5 hover analysis).
 TRANSCENDENTAL_SLOTS = {
     "div": 1.0,
     "sqrt": 1.0,
@@ -76,13 +79,41 @@ TRANSCENDENTAL_SLOTS = {
     "logistic": 1.0,
 }
 
+# Round-5 on-chip calibration (scripts/vpu_calibrate.py: per-op dependent
+# chains x8 independent streams inside one Pallas kernel, K2-K1
+# difference timing with a value-fetch barrier — chain length amortizes
+# the tunnel RTT that defeated round-4's per-op attempt). Two findings:
+#   1. Single-issue ALU ops measure 4.0-4.4e12 elems/s (validating the
+#      3.9e12 nominal), but a dependent mul+add chain runs at 2.06e12/s:
+#      Mosaic does NOT issue a multiply-add as one FMA — so the census's
+#      FMA pairing discount is itself a lower-bound choice.
+#   2. Transcendentals lower to long polynomial/Newton sequences:
+#      sin/cos ~98 single-issue slots per element, div ~9, sqrt ~8.
+# Weights below are in single-issue slots (measured mul rate / op rate);
+# session-to-session calibration band ~±15%.
+CALIBRATED_SLOTS = {
+    "div": 9.3,
+    "sqrt": 8.5,
+    "rsqrt": 6.4,
+    "exp": 2.7,
+    "log": 2.9,
+    "tanh": 2.6,
+    "sin": 97.7,
+    "cos": 97.7,
+    "logistic": 10.8,
+}
+
 # v5e VPU issue rate (issues/s); FMA = one issue
 SLOT_RATE = 3.9e12
+# measured single-issue issue rate (mul chains, scripts/vpu_calibrate.py)
+# — the ceiling for the CALIBRATED census (which counts mul+add as 2)
+SLOT_RATE_CAL = 4.0e12
 
 # XLA-cost-model FLOPs per env-step (see module docstring; regenerated by
-# scripts/roofline.py on 2026-08-20 — getting_started track, G=4, O=4):
-#   hover:  fast_hover per-ctrl-step kernel (8 physics substeps + reward/
-#           episode logic), per env-step
+# scripts/roofline.py on 2026-08-21 — getting_started track, G=4, O=4):
+#   hover:  rollout-kernel step math (pallas_step.rollout_step_math: 8
+#           physics substeps, small-angle integrator + reward/episode
+#           logic), per env-step
 #   race1/race2: race_step_fused (20 firmware ticks: physics + Mellinger +
 #           commander + power distribution, then gates/collisions/obs/
 #           shaping/autoreset), per env-step (race2 = 2-drone COMPETE:
@@ -92,19 +123,31 @@ SLOT_RATE = 3.9e12
 # non-FMA peak — read >=100% as "compute-saturated", not as a literal
 # hardware violation.
 FLOPS_PER_ENV_STEP = {
-    "hover": 5667.0,
+    "hover": 16384.0,
     "race1": 22767.0,
     "race2": 25668.0,
 }
 
 # VPU issue slots per env-step (see the slot-accounting block above),
-# regenerated by ``python scripts/roofline.py`` (CPU) — stored 2026-08-21.
-# These are the vpu_pct numerators: calibrated-slot counts of the SAME
-# traced kernel math, with FMA pairing and zero-credit layout ops.
+# regenerated by ``python scripts/roofline.py`` (CPU) — stored 2026-08-21
+# (round 5: hover now censuses the rollout kernel's own math twin,
+# ops/pallas_step.rollout_step_math — small-angle integrator, no obs
+# tail). These are the vpu_pct numerators: floor-weighted slot counts of
+# the SAME traced kernel math, with FMA pairing and zero-credit layout
+# ops (the guaranteed lower bound).
 VPU_SLOTS_PER_ENV_STEP = {
-    "hover": 942.1,
+    "hover": 886.0,
     "race1": 12702.7,
     "race2": 25416.7,
+}
+
+# Calibrated census (CALIBRATED_SLOTS weights, mul+add pairs = 2 slots):
+# the vpu_cal_pct numerators against SLOT_RATE_CAL. Regenerated by
+# ``python scripts/roofline.py`` alongside the floor table.
+VPU_SLOTS_CAL_PER_ENV_STEP = {
+    "hover": 1271.0,
+    "race1": 19475.7,
+    "race2": 38954.4,
 }
 
 
@@ -179,12 +222,18 @@ def race_rollout_bytes_per_step(n_envs: int, n_drones: int = 1,
 
 
 def roofline_pct(env_steps_per_s: float, slots_per_step: float,
-                 bytes_per_step: float) -> dict:
+                 bytes_per_step: float, cal_slots_per_step: float = None
+                 ) -> dict:
     """%-of-roofline for a measured throughput: ``vpu_pct`` is achieved
-    issue slots/s over the calibrated slot rate (a true utilization,
-    <= 100 by construction — see the slot-accounting block above);
-    ``hbm_pct`` is achieved bytes/s over the v5e HBM peak."""
-    return {
+    floor-census issue slots/s over the nominal slot rate (a guaranteed
+    utilization LOWER BOUND, <= 100 by construction — see the
+    slot-accounting block above); ``hbm_pct`` is achieved bytes/s over
+    the v5e HBM peak. With ``cal_slots_per_step``, adds ``vpu_cal_pct``:
+    the calibrated-census estimate against the measured single-issue
+    rate — the best point estimate of true utilization, with the
+    calibration's ~±15% band (values slightly above 100 read as
+    "at the issue ceiling within calibration error")."""
+    out = {
         "vpu_pct": round(
             100.0 * env_steps_per_s * slots_per_step / SLOT_RATE, 1
         ),
@@ -193,6 +242,11 @@ def roofline_pct(env_steps_per_s: float, slots_per_step: float,
             / V5E["hbm_bytes_per_s"], 1
         ),
     }
+    if cal_slots_per_step is not None:
+        out["vpu_cal_pct"] = round(
+            100.0 * env_steps_per_s * cal_slots_per_step / SLOT_RATE_CAL, 1
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -235,18 +289,23 @@ _REDUCE = frozenset({
 })
 
 
-def vpu_slot_census(fn, *args, verbose=False):
+def vpu_slot_census(fn, *args, verbose=False, calibrated=False):
     """Count VPU issue slots of ``fn(*args)`` by walking its jaxpr.
 
     Returns ``{"slots": float, "mxu_flops": float, "by_prim": dict}``.
     Recurses into pjit/scan/cond/pallas_call (scan multiplies by trip
-    count; pallas_call by its grid). A mul whose single consumer is an
-    add/sub counts as one slot with that add (FMA pairing — matches how
-    the compiler actually issues it). Unknown primitives count one slot
-    per element and are reported in ``by_prim`` prefixed with ``?``.
+    count; pallas_call by its grid). Default (floor) mode is the
+    guaranteed lower bound: a mul whose single consumer is an add/sub
+    counts as one slot with that add (FMA pairing) and transcendentals
+    are floored at 1 slot. ``calibrated=True`` uses the on-chip-measured
+    CALIBRATED_SLOTS weights and counts mul+add pairs as TWO slots
+    (Mosaic issues them separately — measured); compare against
+    SLOT_RATE_CAL. Unknown primitives count one slot per element and are
+    reported in ``by_prim`` prefixed with ``?``.
     """
     import jax
 
+    trans = CALIBRATED_SLOTS if calibrated else TRANSCENDENTAL_SLOTS
     closed = jax.make_jaxpr(fn)(*args)
     totals = {"slots": 0.0, "mxu_flops": 0.0}
     by_prim = {}
@@ -328,13 +387,13 @@ def vpu_slot_census(fn, *args, verbose=False):
             elif name in _ZERO_SLOT:
                 pass
             elif name == "mul" and id(eqn) in fused_muls:
-                add("fma_mul", 0.0)
+                add("fma_mul", mult * n if calibrated else 0.0)
             elif name in _ONE_SLOT:
                 add(name, mult * n)
             elif name in _FIXED_SLOTS:
                 add(name, mult * n * _FIXED_SLOTS[name])
-            elif name in TRANSCENDENTAL_SLOTS:
-                add(name, mult * n * TRANSCENDENTAL_SLOTS[name])
+            elif name in trans:
+                add(name, mult * n * trans[name])
             elif name in _REDUCE:
                 inn = max(
                     (float(v.aval.size) for v in eqn.invars
@@ -343,8 +402,7 @@ def vpu_slot_census(fn, *args, verbose=False):
                 )
                 add(name, mult * inn)
             elif name == "pow":
-                add(name, mult * n * (TRANSCENDENTAL_SLOTS["log"]
-                                      + TRANSCENDENTAL_SLOTS["exp"]))
+                add(name, mult * n * (trans["log"] + trans["exp"]))
             else:
                 if verbose:
                     print(f"[census] unknown primitive: {name}")
@@ -358,6 +416,8 @@ def vpu_slot_census(fn, *args, verbose=False):
 def _bench_kernel_cases():
     """The three benched kernels as (name, fn, args) at B=128 envs —
     shared setup for the cost-model-flops and issue-slot censuses."""
+    from functools import partial
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -371,12 +431,23 @@ def _bench_kernel_cases():
         DroneModel, Physics, RaceMode,
     )
 
+    from gym_pybullet_adrp_tpu.ops import pallas_step
+
     B = 128
     params = drone_params(DroneModel.CF2X)
-    step = fast_hover.make_step(params, B, interpret=True)
+    # hover censuses the ROLLOUT kernel's per-step math (its bitwise
+    # plain-jnp twin, ops/pallas_step.rollout_step_math — round 5: the
+    # old census case, fast_hover.make_step, includes an atan2/asin
+    # observation tail the headline kernel never executes and used the
+    # exact integrator the headline no longer uses)
+    T = B // LANE
+    step = partial(pallas_step.rollout_step_math, params)
     st = fast_hover.reset_packed(np.array([0.0, 0.0, 0.1125]), B)
-    act = jnp.zeros((4, B // LANE, LANE))
-    yield "hover", step, (st, act)
+    act = jnp.zeros((4, T, LANE))
+    yield "hover", step, (
+        st.packed, act, jnp.zeros((T, LANE), jnp.int32),
+        jnp.zeros((T, LANE)),
+    )
 
     cfg = load_config("getting_started")
     for n, key in ((1, "race1"), (2, "race2")):
@@ -421,9 +492,11 @@ def measure_flops_per_env_step():
     }
 
 
-def measure_slots_per_env_step(verbose=False):
-    """Re-measure VPU_SLOTS_PER_ENV_STEP via the jaxpr issue-slot census
-    (platform-independent tracing; run through scripts/roofline.py)."""
+def measure_slots_per_env_step(verbose=False, calibrated=False):
+    """Re-measure VPU_SLOTS_PER_ENV_STEP (floor census) or
+    VPU_SLOTS_CAL_PER_ENV_STEP (``calibrated=True``) via the jaxpr
+    issue-slot census (platform-independent tracing; run through
+    scripts/roofline.py)."""
     import jax
 
     out = {}
@@ -431,7 +504,8 @@ def measure_slots_per_env_step(verbose=False):
         old = jax.config.jax_enable_x64
         jax.config.update("jax_enable_x64", False)
         try:
-            c = vpu_slot_census(fn, *args, verbose=verbose)
+            c = vpu_slot_census(fn, *args, verbose=verbose,
+                                calibrated=calibrated)
         finally:
             jax.config.update("jax_enable_x64", old)
         out[name] = c["slots"] / 128

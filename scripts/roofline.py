@@ -37,18 +37,23 @@ def main():
     from gym_pybullet_adrp_tpu.utils import roofline as rf
 
     slots = rf.measure_slots_per_env_step(verbose=True)
+    cal = rf.measure_slots_per_env_step(calibrated=True)
     flops = rf.measure_flops_per_env_step()
     drift = False
     print("\nper-env-step kernel cost (stored constants in parentheses):")
     for k in slots:
-        ss, sf = rf.VPU_SLOTS_PER_ENV_STEP[k], rf.FLOPS_PER_ENV_STEP[k]
+        ss = rf.VPU_SLOTS_PER_ENV_STEP[k]
+        sc = rf.VPU_SLOTS_CAL_PER_ENV_STEP[k]
+        sf = rf.FLOPS_PER_ENV_STEP[k]
         ds = abs(slots[k] - ss) / ss if ss else 1.0
+        dc = abs(cal[k] - sc) / sc if sc else 1.0
         df = abs(flops[k] - sf) / sf
         flag = "  <-- DRIFT, update utils/roofline.py" if (
-            ds > 0.02 or df > 0.02
+            ds > 0.02 or dc > 0.02 or df > 0.02
         ) else ""
-        drift = drift or ds > 0.02 or df > 0.02
+        drift = drift or ds > 0.02 or dc > 0.02 or df > 0.02
         print(f"  {k:6s} slots {slots[k]:8.0f} ({ss:.0f})  "
+              f"cal {cal[k]:8.0f} ({sc:.0f})  "
               f"cm-flops {flops[k]:8.0f} ({sf:.0f}){flag}")
 
     rows = [
@@ -64,12 +69,16 @@ def main():
     print(f"{'kernel':14s} {'steps/s':>10s} {'slots/st':>9s} "
           f"{'bytes/st':>9s} {'Gslot/s':>9s} {'GB/s':>7s} "
           f"{'VPU%':>6s} {'HBM%':>6s}")
+    cal_by_name = {"hover_rollout": cal["hover"],
+                   "race1_fused": cal["race1"],
+                   "race2_fused": cal["race2"]}
     for name, sps, sl, by in rows:
-        pct = rf.roofline_pct(sps, sl, by)
+        pct = rf.roofline_pct(sps, sl, by, cal_by_name[name])
         print(
             f"{name:14s} {sps:10.3g} {sl:9.0f} {by:9.1f} "
             f"{sps*sl/1e9:9.0f} {sps*by/1e9:7.1f} "
-            f"{pct['vpu_pct']:6.1f} {pct['hbm_pct']:6.1f}"
+            f"{pct['vpu_pct']:6.1f} {pct['hbm_pct']:6.1f} "
+            f"cal {pct['vpu_cal_pct']:6.1f}"
         )
     return 1 if drift else 0
 

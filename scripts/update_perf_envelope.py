@@ -56,8 +56,10 @@ _R3_KEYMAP = {
     "race1_env_steps_per_sec": "race1_steplaunch",
     "race2_env_steps_per_sec": "race2_steplaunch",
 }
-# rounds whose hover kernel predates the current fused-rollout generation
-_HOVER_SKIP_ROUNDS = {1}
+# rounds whose hover kernel predates the current generation (r1:
+# per-step kernel; r2-r4: exact-integrator rollout kernel; r5+: the
+# small-angle rollout kernel, +64% — VALIDATION §5d)
+_HOVER_SKIP_ROUNDS = {1, 2, 3, 4}
 
 
 def collect_captures():
@@ -71,7 +73,7 @@ def collect_captures():
             ck = keymap.get(k)
             if ck is None or not isinstance(v, (int, float)):
                 continue
-            if ck == "hover" and rnd in _HOVER_SKIP_ROUNDS:
+            if ck in ("hover", "hover_vpu") and rnd in _HOVER_SKIP_ROUNDS:
                 continue
             cap[ck] = float(v)
         if len(cap) > 1:

@@ -96,3 +96,56 @@ def test_kernel_ground_contact():
     ground_z = float(params.collision_h) / 2
     np.testing.assert_allclose(np.asarray(p2)[:, 2], ground_z, atol=1e-6)
     assert np.all(np.asarray(v2)[:, 2] >= 0.0)
+
+
+def test_smallangle_integrator_accuracy():
+    """The headline rollout kernel's small-angle quaternion update
+    (round 5: sin/cos/div/sqrt replaced by Horner polynomials in theta^2
+    — ops/pallas_step.rollout_step_math, the kernel's bitwise math twin,
+    verified 0.0 delta against the Mosaic kernel on hardware).
+
+    (a) Polynomial vs f64 exact over the full reachable theta range:
+        below f32 rounding of the exact values.
+    (b) Closed-loop: 64 steps x 8 substeps with random actions, Taylor vs
+        the exact integrator — trajectories agree to f32 closed-loop
+        accumulation tolerance.
+    """
+    # (a) direct bound: theta = |omega| dt/2, dt = 1/240; hover states
+    # stay far below |omega| = 48 rad/s (theta = 0.1)
+    theta = np.linspace(0.0, 0.1, 10001)
+    t2 = theta * theta
+    ps = 1.0 + t2 * (-1.0 / 6.0 + t2 * (1.0 / 120.0))       # sin(t)/t
+    pc = 1.0 + t2 * (-0.5 + t2 * (1.0 / 24.0 + t2 * (-1.0 / 720.0)))
+    sin_exact = np.sinc(theta / np.pi)                       # sin(t)/t, f64
+    cos_exact = np.cos(theta)
+    f32eps = 1.2e-7
+    assert np.abs(ps - sin_exact).max() < f32eps
+    assert np.abs(pc - cos_exact).max() < f32eps
+
+    # (b) closed loop on the math twin (plain jnp -> runs on CPU)
+    params = drone_params(DroneModel.CF2X, dtype=jnp.float32)
+    T = 1
+    packed = np.zeros((13, T, 128), np.float32)
+    packed[2] = 0.1125
+    packed[6] = 1.0
+    st_a = st_b = jnp.asarray(packed)
+    steps_a = steps_b = jnp.zeros((T, 128), jnp.int32)
+    acc_a = acc_b = jnp.zeros((T, 128), jnp.float32)
+    rng = np.random.default_rng(3)
+    step = jax.jit(partial(pallas_step.rollout_step_math, params),
+                   static_argnames=("smallangle",))
+    for _ in range(64):
+        act = jnp.asarray(
+            rng.uniform(-1, 1, size=(4, T, 128)), dtype=jnp.float32
+        )
+        st_a, steps_a, acc_a, _ = step(st_a, act, steps_a, acc_a,
+                                       smallangle=True)
+        st_b, steps_b, acc_b, _ = step(st_b, act, steps_b, acc_b,
+                                       smallangle=False)
+    np.testing.assert_allclose(
+        np.asarray(st_a), np.asarray(st_b), atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(acc_a), np.asarray(acc_b), atol=1e-3,
+    )
+    np.testing.assert_array_equal(np.asarray(steps_a), np.asarray(steps_b))

@@ -35,6 +35,17 @@ def test_slot_constants_match_fresh_census():
             "changed; rerun scripts/roofline.py and update "
             "utils/roofline.py VPU_SLOTS_PER_ENV_STEP"
         )
+    cal = rf.measure_slots_per_env_step(calibrated=True)
+    for k, v in cal.items():
+        stored = rf.VPU_SLOTS_CAL_PER_ENV_STEP[k]
+        assert abs(v - stored) / stored < 0.02, (
+            f"{k}: calibrated census {v:.0f} vs stored {stored:.0f} — "
+            "rerun scripts/roofline.py and update "
+            "utils/roofline.py VPU_SLOTS_CAL_PER_ENV_STEP"
+        )
+        # calibrated weights can only raise the count (every weight >= 1,
+        # fma pairs counted at their measured 2 issues)
+        assert v >= rf.VPU_SLOTS_PER_ENV_STEP[k]
 
 
 def test_vpu_pct_is_true_utilization():
@@ -81,6 +92,16 @@ def test_census_fma_pairing_and_layout_ops():
 
     cen = rf.vpu_slot_census(transcendental, a)
     assert cen["slots"] >= a.size  # >= one issue each, never less
+
+    # calibrated mode: measured weights (sin ~98 single-issue slots) and
+    # mul+add pairs at their measured TWO issues
+    cen = rf.vpu_slot_census(transcendental, a, calibrated=True)
+    assert cen["slots"] == a.size * rf.CALIBRATED_SLOTS["sin"]
+    cen = rf.vpu_slot_census(fma, a, a, a, calibrated=True)
+    assert cen["slots"] == 2 * a.size
+
+    pct = rf.roofline_pct(1e8, 900.0, 2.0, cal_slots_per_step=1300.0)
+    assert pct["vpu_cal_pct"] == round(100 * 1e8 * 1300 / rf.SLOT_RATE_CAL, 1)
 
 
 def test_bytes_per_step_formulas():
