@@ -92,6 +92,22 @@ def main():
                          "so the seed varies only the training stream — "
                          "the multi-seed continuation lever of "
                          "VALIDATION §4c)")
+    ap.add_argument("--league", default=None,
+                    help="comma-separated frozen policy .msgpack paths: "
+                         "league training (rowfast COMPETE self-play "
+                         "only). Drone 0 of every env is the learner; "
+                         "drones 1..N-1 act greedily (mean action) from a "
+                         "frozen opponent policy — env block i of "
+                         "n_envs/P uses pool member i, so the learner "
+                         "optimizes against the opponent MIXTURE instead "
+                         "of mirrors of itself (the recipe-level lever "
+                         "VALIDATION §4c names for the level3 plateau). "
+                         "PPO batch = learner-drone rows only.")
+    ap.add_argument("--league_refresh", type=int, default=0,
+                    help="with --league: every N iterations overwrite "
+                         "pool slot 0 with the CURRENT learner params "
+                         "(past-selves league, AlphaStar-style); 0 = "
+                         "fully frozen pool")
     ap.add_argument("--obs", default="kin", choices=["kin", "rgb"],
                     help="'rgb': camera-based racing — drone-POV frames of "
                          "the actual gates/obstacles ray-cast in-graph, "
@@ -126,6 +142,12 @@ def main():
                  "use it without --fuse_policy")
     if args.obs == "rgb" and (args.rowfast or args.fast):
         ap.error("--obs rgb runs on the general path (no --rowfast/--fast)")
+    if args.league and not (args.rowfast and args.compete
+                            and n_drones > 1):
+        ap.error("--league needs --rowfast --compete --n_drones > 1")
+    if args.league and args.fuse_policy:
+        ap.error("--league computes opponent actions in the adapter step; "
+                 "use it without --fuse_policy")
     spec = race_mod.RaceSpec.from_config(
         config, num_drones=n_drones, racemode=racemode, physics=Physics.PYB
     )
@@ -133,11 +155,13 @@ def main():
     # self-play: the PPO batch is every drone of every env
     import dataclasses
 
+    # league: only the learner drone's rows enter the PPO batch
+    ppo_rows = args.n_envs * (1 if args.league else n_drones)
     blk = max(1, args.shuffle_block)
-    mb = args.n_envs * n_drones * args.n_steps // 8
+    mb = ppo_rows * args.n_steps // 8
     while mb % blk:
         blk //= 2
-    cfg = PPOConfig(n_envs=args.n_envs * n_drones, n_steps=args.n_steps,
+    cfg = PPOConfig(n_envs=ppo_rows, n_steps=args.n_steps,
                     shuffle_block=blk)
     if args.ent_coef is not None:
         cfg = dataclasses.replace(cfg, ent_coef=args.ent_coef)
@@ -220,6 +244,73 @@ def main():
             act_dim=4,
         )
 
+        if args.league:
+            from typing import NamedTuple
+
+            from gym_pybullet_adrp_tpu.models.policy import ActorCritic
+
+            hidden_ = tuple(int(x) for x in args.hidden.split(","))
+            opp_net = ActorCritic(act_dim=4, hidden=hidden_)
+            tmpl = opp_net.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, spec.obs_size))
+            )
+            paths = [p for p in args.league.split(",") if p]
+            pool_list = [ckpt.load_policy(p, tmpl) for p in paths]
+            P = len(pool_list)
+            assert B % P == 0, f"n_envs must divide by pool size {P}"
+            pool0 = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *pool_list
+            )
+            print(f"league pool ({P}): {paths}", flush=True)
+
+            class LeagueState(NamedTuple):
+                row: object            # RowRaceState
+                obs: jnp.ndarray       # (B, N, C) post-step full obs
+                pool: dict             # stacked opponent params (P, ...)
+
+            def league_reset(key):
+                st = row_reset(key)
+                obs = row_reset.initial_obs(st).reshape(
+                    B, n_drones, spec.obs_size
+                )
+                return LeagueState(st, obs, pool0), obs[:, 0, :]
+
+            def league_step(env_state, action, key):
+                obs = env_state.obs
+                # opponents act greedily from their frozen pool member:
+                # env block i (of B/P) -> member i
+                opp_obs = obs[:, 1:, :].reshape(
+                    P, (B // P) * (n_drones - 1), spec.obs_size
+                )
+
+                def fwd(params, o):
+                    mean, _, _ = opp_net.apply(params, o)
+                    return mean
+
+                opp_act = jnp.clip(
+                    jax.vmap(fwd)(env_state.pool, opp_obs), -1.0, 1.0
+                ).reshape(B, n_drones - 1, 4)
+                act = jnp.concatenate(
+                    [action.reshape(B, 1, 4), opp_act], axis=1
+                )
+                row, obs2, reward, done = row_step(env_state.row, act, key)
+                obs2 = obs2.reshape(B, n_drones, spec.obs_size)
+                if args.prox_penalty:
+                    reward = prox_shape(obs2, reward)
+                return (
+                    LeagueState(row, obs2, env_state.pool),
+                    obs2[:, 0, :],
+                    reward[:, 0],       # learner drone's own shaping
+                    done,
+                )
+
+            adapter = EnvAdapter(
+                batched_reset=league_reset,
+                step=league_step,
+                obs_dim=spec.obs_size,
+                act_dim=4,
+            )
+
         if args.fuse_policy:
             (b_reset, rollout_override, fused_step) = \
                 race_rl_rowfast.make_policy_rollout(
@@ -289,6 +380,15 @@ def main():
     t0 = time.time()
     for it in range(args.iters):
         ts, metrics = train(ts)
+        if (args.league and args.league_refresh
+                and (it + 1) % args.league_refresh == 0):
+            # past-selves league: slot 0 becomes the current learner
+            ts = ts._replace(env_state=ts.env_state._replace(
+                pool=jax.tree_util.tree_map(
+                    lambda pool, p: pool.at[0].set(p),
+                    ts.env_state.pool, ts.params,
+                )
+            ))
         if it % 10 == 0 or it == args.iters - 1:
             jax.block_until_ready(metrics["loss"])
             print(

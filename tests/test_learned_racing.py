@@ -125,11 +125,43 @@ def test_level1_policy_robust_on_cpu():
     out = er.evaluate(
         str(repo / "results/level1_robust.msgpack"), "level1", 128
     )
-    assert out["completion_rate"] >= 0.25, out
+    # round-5 re-measurement: 39.8% completion, mean 1.65 gates (stable
+    # vs round 4's 39.8%) — pins raised per VERDICT r4 item 7 to track
+    # the measurement instead of trailing it by 15 points
+    assert out["completion_rate"] >= 0.35, out
     assert out["mean_lap_time"] is not None and out["mean_lap_time"] < 6.0, \
         out
     # gate progress well beyond chance across the randomized field
-    assert out["mean_gates"] >= 0.5, out
+    # (completers alone contribute ~4 * 0.35 = 1.4)
+    assert out["mean_gates"] >= 1.2, out
+
+
+@pytest.mark.slow
+def test_level3_mastery_cpu_floor():
+    """Cross-platform floor for the FLAGSHIP artifact (VERDICT r4 item 7:
+    'the mastery artifact's CPU behavior is entirely unmeasured').
+    Measured round 5: 24.6% per-drone completion / mean 1.86 gates on the
+    CPU backend's float realization under full level3 4-drone COMPETE
+    conditions (vs 52.7% on the training platform — the firmware D-term's
+    x500/tick noise amplification costs roughly half the field, same
+    ratio as the pre-hardening level1 artifact, VALIDATION §4b). The
+    artifact already trains under level3's own wind/action-noise ladder,
+    which is what keeps a quarter of the field completing on a foreign
+    float realization. Pinned with slack below the measurement."""
+    import importlib.util
+
+    repo = Path(__file__).resolve().parent.parent
+    s = importlib.util.spec_from_file_location(
+        "er", repo / "scripts/eval_race.py"
+    )
+    er = importlib.util.module_from_spec(s)
+    s.loader.exec_module(er)
+    out = er.evaluate(
+        str(repo / "results/level3_mastery.msgpack"), "level3", 128,
+        n_drones=4,
+    )
+    assert out["per_drone_completion_rate"] >= 0.15, out
+    assert out["mean_gates"] >= 1.2, out
 
 
 @pytest.mark.slow
