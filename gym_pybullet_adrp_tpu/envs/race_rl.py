@@ -48,7 +48,8 @@ def rl_race_reset(spec: RaceSpec, track: RaceTrack, key,
 
 
 def compute_rgb_obs(spec: RaceSpec, state: RaceRLState,
-                    width: int = 32, height: int = 24) -> jnp.ndarray:
+                    width: int = 32, height: int = 24,
+                    fov_deg: float = 60.0) -> jnp.ndarray:
     """Flat drone-0 POV pixel observation of the race scene, [0, 1].
 
     Camera-based racing: the actual (randomization-resolved) gates,
@@ -56,6 +57,13 @@ def compute_rgb_obs(spec: RaceSpec, state: RaceRLState,
     (ops/render.scene_from_race_state), so pixels-to-actions race PPO runs
     entirely on-device. The reference's RGB branch (MultiRaceAviary
     :574-588) was latent/dead code tied to per-env host cameras.
+
+    ``width``/``height`` default to the historical 32x24 frame; the
+    reference's own camera spec is 64x48 (BaseRLAviary.py:284-305).
+    ``fov_deg`` is the vertical field of view (reference: 60 deg) — the
+    round-4 full-track pixels negative result diagnosed getting_started's
+    gate 1 -> 2 turn as leaving the 60-deg forward frame, so the round-5
+    retry widens it (VALIDATION §5).
     """
     from gym_pybullet_adrp_tpu.ops import render as render_mod
 
@@ -71,7 +79,7 @@ def compute_rgb_obs(spec: RaceSpec, state: RaceRLState,
         rs.phys.pos[0], rs.phys.quat[0], arm
     )
     rgba, _, _ = render_mod.render(
-        scene, eye, target, width=width, height=height
+        scene, eye, target, width=width, height=height, fov_deg=fov_deg
     )
     return (rgba[..., :3] / 255.0).reshape(-1)
 

@@ -112,6 +112,14 @@ def main():
                     help="'rgb': camera-based racing — drone-POV frames of "
                          "the actual gates/obstacles ray-cast in-graph, "
                          "conv actor-critic (general path only)")
+    ap.add_argument("--img", default="32x24",
+                    help="with --obs rgb: frame WxH (reference camera "
+                         "spec: 64x48, BaseRLAviary.py:284-305)")
+    ap.add_argument("--fov", type=float, default=60.0,
+                    help="with --obs rgb: vertical FOV in degrees "
+                         "(reference: 60; the round-4 pixels negative "
+                         "result diagnosed the gate 1->2 turn as leaving "
+                         "the 60-deg frame — widen to retry)")
     args = ap.parse_args()
 
     import jax
@@ -346,10 +354,10 @@ def main():
     if args.obs == "rgb":
         from gym_pybullet_adrp_tpu.models.policy import CnnActorCritic
 
-        img_w, img_h = 32, 24
+        img_w, img_h = (int(x) for x in args.img.split("x"))
         rgb = jax.vmap(
             lambda s: race_rl.compute_rgb_obs(
-                spec, s, width=img_w, height=img_h
+                spec, s, width=img_w, height=img_h, fov_deg=args.fov
             )
         )
         kin_reset, kin_step = adapter.batched_reset, adapter.step
