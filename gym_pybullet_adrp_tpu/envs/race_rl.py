@@ -49,7 +49,8 @@ def rl_race_reset(spec: RaceSpec, track: RaceTrack, key,
 
 def compute_rgb_obs(spec: RaceSpec, state: RaceRLState,
                     width: int = 32, height: int = 24,
-                    fov_deg: float = 60.0) -> jnp.ndarray:
+                    fov_deg: float = 60.0,
+                    camera: str = "body") -> jnp.ndarray:
     """Flat drone-0 POV pixel observation of the race scene, [0, 1].
 
     Camera-based racing: the actual (randomization-resolved) gates,
@@ -60,10 +61,19 @@ def compute_rgb_obs(spec: RaceSpec, state: RaceRLState,
 
     ``width``/``height`` default to the historical 32x24 frame; the
     reference's own camera spec is 64x48 (BaseRLAviary.py:284-305).
-    ``fov_deg`` is the vertical field of view (reference: 60 deg) — the
-    round-4 full-track pixels negative result diagnosed getting_started's
-    gate 1 -> 2 turn as leaving the 60-deg forward frame, so the round-5
-    retry widens it (VALIDATION §5).
+    ``fov_deg`` is the vertical field of view (reference: 60 deg).
+
+    ``camera``: "body" = the reference's rig (eye above CoM, looking
+    along body +x, reference _getDroneImages:596-603). The round-5
+    visibility study (VALIDATION §5) measured that along a mastering
+    racing line the TARGET gate sits inside the body-x frame only 0-20%
+    of the time for 3 of getting_started's 4 gates at ANY
+    resolution/FOV — the RL action space zeroes yaw (reference
+    DroneObservationWrapper, wrapper.py:52-65), so the camera never
+    turns. "velocity" = a gimbaled camera facing along the horizontal
+    velocity (falling back to body +x below 0.05 m/s), which lifts
+    target-gate visibility to 48-92% on the same line — the documented
+    deviation the full-track pixels policy trains with.
     """
     from gym_pybullet_adrp_tpu.ops import render as render_mod
 
@@ -75,13 +85,31 @@ def compute_rgb_obs(spec: RaceSpec, state: RaceRLState,
     # mask the camera drone's own sphere (the eye sits inside it)
     scene = scene._replace(sph_valid=jnp.arange(n) != 0)
     arm = jnp.asarray(rs.drone.arm).reshape(-1)[0]
-    eye, target = render_mod.drone_camera(
-        rs.phys.pos[0], rs.phys.quat[0], arm
-    )
+    if camera == "velocity":
+        pos = rs.phys.pos[0]
+        hv = rs.phys.vel[0].at[2].set(0.0)
+        n = jnp.linalg.norm(hv)
+        fwd = jnp.where(
+            n > 0.05, hv / jnp.maximum(n, 1e-6),
+            quat_rotate_x(rs.phys.quat[0], pos.dtype),
+        )
+        eye = pos + jnp.asarray([0.0, 0.0, arm], dtype=pos.dtype)
+        target = pos + fwd * 1000.0
+    else:
+        eye, target = render_mod.drone_camera(
+            rs.phys.pos[0], rs.phys.quat[0], arm
+        )
     rgba, _, _ = render_mod.render(
         scene, eye, target, width=width, height=height, fov_deg=fov_deg
     )
     return (rgba[..., :3] / 255.0).reshape(-1)
+
+
+def quat_rotate_x(q, dtype):
+    """Unit body +x axis in world frame (the body-camera forward)."""
+    from gym_pybullet_adrp_tpu.ops import quat as quat_ops
+
+    return quat_ops.rotate(q, jnp.asarray([1.0, 0.0, 0.0], dtype=dtype))
 
 
 def shaped_reward(spec: RaceSpec, state: RaceRLState, obs, terminated,

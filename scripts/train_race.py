@@ -120,6 +120,14 @@ def main():
                          "(reference: 60; the round-4 pixels negative "
                          "result diagnosed the gate 1->2 turn as leaving "
                          "the 60-deg frame — widen to retry)")
+    ap.add_argument("--camera", default="body",
+                    choices=["body", "velocity"],
+                    help="with --obs rgb: 'body' = reference rig (along "
+                         "body +x; yaw is zeroed by the action space so "
+                         "it never turns — target-gate visibility 0-20% "
+                         "on 3 of 4 getting_started gates at any "
+                         "res/FOV); 'velocity' = gimbal along horizontal "
+                         "velocity (48-92% visibility — VALIDATION §5)")
     args = ap.parse_args()
 
     import jax
@@ -357,7 +365,8 @@ def main():
         img_w, img_h = (int(x) for x in args.img.split("x"))
         rgb = jax.vmap(
             lambda s: race_rl.compute_rgb_obs(
-                spec, s, width=img_w, height=img_h, fov_deg=args.fov
+                spec, s, width=img_w, height=img_h, fov_deg=args.fov,
+                camera=args.camera,
             )
         )
         kin_reset, kin_step = adapter.batched_reset, adapter.step
