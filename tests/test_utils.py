@@ -192,3 +192,52 @@ def test_replay_viewer_builds_selfcontained_html(tmp_path):
     out = tmp_path / "replay.html"
     out.write_text(html)
     assert out.stat().st_size > 8000
+
+
+def test_live_fly_sliders_drive_running_sim():
+    """Live-INPUT interactivity (the reference's user_debug_gui RPM
+    sliders, BaseAviary.py:162-167/1053-1062, headless-native: browser
+    sliders -> HTTP -> running sim; scripts/live_fly.py). Posting a
+    high RPM must make the live-stepped drone climb, and the state
+    endpoint must stream the ray-cast frame."""
+    import base64
+    import json
+    import threading
+    import time
+    import urllib.request
+
+    import importlib.util as ilu
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    spec = ilu.spec_from_file_location("lf", repo / "scripts/live_fly.py")
+    lf = ilu.module_from_spec(spec)
+    spec.loader.exec_module(lf)
+    httpd = lf.serve(port=8917)
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    try:
+        base = "http://127.0.0.1:8917"
+        page = urllib.request.urlopen(base + "/").read().decode()
+        assert "input type=range" in page and "/rpm" in page
+        urllib.request.urlopen(urllib.request.Request(
+            base + "/rpm", data=b"[21000,21000,21000,21000]",
+            method="POST",
+        ))
+        s0 = json.loads(urllib.request.urlopen(base + "/state").read())
+        time.sleep(0.3)
+        s1 = json.loads(urllib.request.urlopen(base + "/state").read())
+        time.sleep(0.3)
+        s2 = json.loads(urllib.request.urlopen(base + "/state").read())
+        assert s2["t"] > s0["t"]                       # sim runs live
+        assert s2["pos"][2] > s0["pos"][2] + 0.05      # sliders act: climbs
+        assert s2["rpm"] == [21000.0] * 4
+        png = base64.b64decode(s1["png"])
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"          # live frame streams
+        # live reset
+        urllib.request.urlopen(urllib.request.Request(
+            base + "/reset", data=b"", method="POST"))
+        s3 = json.loads(urllib.request.urlopen(base + "/state").read())
+        assert s3["pos"][2] < s2["pos"][2]
+    finally:
+        httpd.shutdown()
