@@ -55,3 +55,40 @@ def test_bench_race_json_line():
     assert len(lines) == 1, out.stdout
     rec = json.loads(lines[0])
     assert rec["value"] > 0
+
+
+def test_perf_envelope_mechanics(tmp_path):
+    """Unit-level pins for the envelope generator: capture collection
+    maps BENCH keys to canonical metrics (r3 race keys -> steplaunch;
+    pre-r5 hover generations excluded), and the drift envelope widens
+    the observed span by more than the documented ±10% band."""
+    import importlib.util as ilu
+
+    spec = ilu.spec_from_file_location(
+        "upe", ROOT / "scripts" / "update_perf_envelope.py"
+    )
+    upe = ilu.module_from_spec(spec)
+    spec.loader.exec_module(upe)
+
+    caps = upe.collect_captures()
+    srcs = {c["src"] for c in caps}
+    assert "BENCH_r04.json" in srcs
+    r3 = next(c for c in caps if c["src"] == "BENCH_r03.json")
+    # r3's race keys measured the single-step-launch kernel
+    assert "race1_steplaunch" in r3 and "race1_rollout" not in r3
+    # pre-round-5 hover kernel generations never pollute the envelope
+    for c in caps:
+        rnd = c["src"]
+        if rnd.startswith("BENCH_r") and int(
+            rnd[7:9]
+        ) in upe._HOVER_SKIP_ROUNDS:
+            assert "hover" not in c and "hover_vpu" not in c, c["src"]
+
+    rng = upe.ranges(caps)
+    for key in ("hover", "race1_rollout", "race2_rollout"):
+        lo, hi = rng[key]
+        txt = upe.span_text(key, rng)
+        assert "drift envelope" in txt
+    # the envelope bound is strictly wider than ±10% of the observed span
+    assert float(upe._fmt(100e6 * 0.88, "M", False)) <= 100 * 0.9
+    assert float(upe._fmt(100e6 * 1.12, "M", True)) >= 100 * 1.1
