@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--rollout_k", type=int, default=0,
                     help="with --impl race: env steps per kernel launch "
                          "(0 = one launch per step)")
+    ap.add_argument("--chunk", type=int, default=64,
+                    help="with --impl pallas-rollout: control steps per "
+                         "hover_rollout launch (K sweep measured flat "
+                         "+1.3% from 64 to 256 — VALIDATION §5d)")
     ap.add_argument("--no-extras", action="store_true",
                     help="skip the extra race measurements + roofline keys "
                          "on the default pallas-rollout run")
@@ -162,7 +166,7 @@ def main():
         from gym_pybullet_adrp_tpu.envs import fast_hover
         from gym_pybullet_adrp_tpu.ops import pallas_step
 
-        chunk = 64
+        chunk = args.chunk
         n_chunks = max(args.steps // chunk, 1)
         args.steps = chunk * n_chunks
         state0 = fast_hover.reset_packed(
@@ -277,7 +281,7 @@ def main():
 
     if args.impl == "pallas-rollout":
         annotate("hover", steps_per_sec, "hover",
-                 rf.hover_rollout_bytes_per_step(args.envs))
+                 rf.hover_rollout_bytes_per_step(args.envs, args.chunk))
         if not args.no_extras:
             # the flagship race kernels as extra keys on the same line:
             # the K-step rollout kernel (the headline, state VMEM-resident
