@@ -21,7 +21,7 @@ import numpy as np
 
 def evaluate(policy_path, config_name="getting_started", n_envs=128,
              img="64x48", fov=110.0, camera="velocity", seed=42,
-             platform=None, max_steps=None):
+             platform=None, max_steps=None, stochastic=False):
     import jax
     import jax.numpy as jnp
 
@@ -62,8 +62,14 @@ def evaluate(policy_path, config_name="getting_started", n_envs=128,
 
         def body(carry, t):
             st, obs, key, best_gate, done_seen, fin_step = carry
-            mean, _, _ = net.apply(params, obs)
-            a = jnp.clip(mean, -1, 1).reshape(B, 1, 4)
+            mean, log_std, _ = net.apply(params, obs)
+            key, k_act = jax.random.split(key)
+            act = mean
+            if stochastic:
+                act = mean + jnp.exp(log_std) * jax.random.normal(
+                    k_act, mean.shape
+                )
+            a = jnp.clip(act, -1, 1).reshape(B, 1, 4)
             key, k = jax.random.split(key)
             ks = jax.random.split(k, B)
             st, _, _, te, tr, telem = race_rl.batched_rl_race_step(
@@ -120,8 +126,10 @@ if __name__ == "__main__":
     ap.add_argument("--camera", default="velocity")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--max_steps", type=int, default=None)
+    ap.add_argument("--stochastic", action="store_true")
     args = ap.parse_args()
     out = evaluate(args.policy, args.config, args.envs, args.img,
                    args.fov, args.camera, platform=args.platform,
-                   max_steps=args.max_steps)
+                   max_steps=args.max_steps, stochastic=args.stochastic)
+    out["stochastic"] = args.stochastic
     print(json.dumps(out))
