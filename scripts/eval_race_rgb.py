@@ -62,6 +62,7 @@ def evaluate(policy_path, config_name="getting_started", n_envs=128,
 
         def body(carry, t):
             st, obs, key, best_gate, done_seen, fin_step = carry
+            t = t.astype(jnp.int32)       # x64-safe scan carry
             mean, log_std, _ = net.apply(params, obs)
             key, k_act = jax.random.split(key)
             act = mean

@@ -142,3 +142,46 @@ def test_race_pixels_ppo_step():
     ts = jax.jit(init_fn)(jax.random.PRNGKey(0))
     ts, metrics = jax.jit(train_step)(ts)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_eval_race_rgb_harness():
+    """The pixels evaluator (scripts/eval_race_rgb.py): telemetry-based
+    gate accounting over the general path with in-graph frames, both
+    deterministic and stochastic modes, gimbal + body cameras."""
+    import importlib.util as ilu
+    from pathlib import Path
+
+    import flax.serialization as fser
+    import jax
+    import jax.numpy as jnp
+
+    from gym_pybullet_adrp_tpu.models.policy import CnnActorCritic
+
+    repo = Path(__file__).resolve().parent.parent
+    spec = ilu.spec_from_file_location(
+        "err", repo / "scripts/eval_race_rgb.py"
+    )
+    err = ilu.module_from_spec(spec)
+    spec.loader.exec_module(err)
+
+    # random tiny policy at 16x12 (fast frames)
+    net = CnnActorCritic(act_dim=4, img_h=12, img_w=16)
+    params = net.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 12 * 16 * 3), jnp.float32)
+    )
+    path = repo / "results" / "_rgb_eval_test.msgpack"
+    path.write_bytes(fser.to_bytes(params))
+    try:
+        for cam, stoch in (("velocity", False), ("body", True)):
+            out = err.evaluate(
+                str(path), "twogates", n_envs=8, img="16x12", fov=90.0,
+                camera=cam, max_steps=3, stochastic=stoch,
+            )
+            assert set(out) >= {
+                "gates_hist", "completion_rate", "mean_gates",
+                "mean_lap_time", "camera",
+            }
+            assert sum(out["gates_hist"].values()) == 8
+            assert out["camera"] == cam
+    finally:
+        path.unlink()
